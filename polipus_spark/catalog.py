@@ -90,10 +90,12 @@ class SnapshotTable:
         version = (manifest["snapshots"][-1]["version"] if manifest["snapshots"] else 0) + 1
         snap_dir = os.path.join(self.path, f"snap-{version:06d}")
         out = df.withColumn(V_COL, F.lit(version))
-        writer = out.write.mode("overwrite")
         if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(snap_dir)
+            # Cluster files by the bucket key (Iceberg bucket-partitioning
+            # analog). Deliberately NOT hive-style partitionBy directories:
+            # multi-snapshot reads need one flat layout per snapshot root.
+            out = out.repartition(*[F.col(c) for c in partition_by])
+        out.write.mode("overwrite").parquet(snap_dir)
         manifest["snapshots"].append(
             {
                 "version": version,

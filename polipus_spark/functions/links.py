@@ -21,10 +21,11 @@ from pyspark.sql import functions as F
 
 from polipus_spark.functions.urls import canonicalize_udf, url_host
 
-# The corpus embeds anchors as href="..." inside text spans; this regex IS
-# the parse (the reference's Nokogiri //a[@href] over real HTML). Identical
-# pattern is used by the oracle simulator and the DuckDB oracle SQL.
-HREF_RE = r'href="([^"]+)"'
+# The corpus embeds anchors as <a href="..."> inside text spans; this regex
+# IS the parse (the reference's Nokogiri //a[@href] over real HTML — anchor
+# tags only, so <base href> must NOT match). Identical pattern is used by
+# the oracle simulator and the DuckDB oracle SQL.
+HREF_RE = r'<a [^>]*?href="([^"]+)"'
 
 # <base href="..."> support (page.rb:157-165): first base tag wins.
 BASE_RE = r'<base href="([^"]+)"'

@@ -1,0 +1,95 @@
+"""S4 simulated fetch + J5 redirect resolution.
+
+The reference fetches over HTTP with a keep-alive pool and follows up to
+``redirect_limit`` (5) same-host redirects, emitting one Page per hop and
+keeping the final one with prior hops as ``aliases``
+(/root/reference/lib/polipus/http.rb:161-182, lib/polipus.rb:203-213).
+
+Here "the web" is the ``docs`` corpus table, so a fetch is a left join of
+the popped wave against docs on ``url == doc_id``:
+
+  * hit, code 2xx/4xx → fetched page with the doc's spans;
+  * hit, code 3xx with same-host redirect_to → follow: bounded driver loop
+    (≤ redirect_limit iterations) of re-canonicalize + re-join; each hop URL
+    accumulates into ``aliases`` (J5). Cross-host redirects are NOT followed
+    (F12, http.rb:276-278) — the 3xx page itself becomes final;
+  * miss → error page (the reference's unreachable-host case,
+    http.rb:215-222): fetched=false, error set, no spans.
+
+The loop is driver-side control flow over DataFrames — at most 5 extra
+joins per wave, each against the (bucketable, broadcastable-when-small)
+docs table; no per-row Python. ``response_time`` is a deterministic
+function of the final URL so runs are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polipus_spark.functions.urls import h60, url_host
+
+SIM_ERROR = "connection refused (simulated)"
+
+
+def _join_docs(wave: DataFrame, docs: DataFrame, url_expr: str) -> DataFrame:
+    d = docs.select(
+        F.col("doc_id").alias("_d_url"),
+        F.col("code").alias("_d_code"),
+        F.col("spans").alias("_d_spans"),
+        F.col("redirect_to").alias("_d_redirect"),
+    )
+    return wave.join(d, wave[url_expr] == d["_d_url"], "left")
+
+
+def fetch_wave(
+    wave: DataFrame,
+    docs: DataFrame,
+    redirect_limit: int = 5,
+    logical_now: int = 0,
+) -> DataFrame:
+    """Input: popped frontier rows (incl. url). Output: one row per input with
+    final_url, code, spans, redirect_to, aliases, fetched, error,
+    response_time, fetched_at."""
+    cur = (
+        _join_docs(wave, docs, "url")
+        .withColumn("final_url", F.col("url"))
+        .withColumn("aliases", F.array().cast("array<string>"))
+        .withColumn("_hops", F.lit(0))
+    )
+
+    for _ in range(redirect_limit):
+        is_redirect = (
+            F.col("_d_code").isNotNull()
+            & F.col("_d_code").between(300, 399)
+            & F.col("_d_redirect").isNotNull()
+            # F12: follow only same-host redirects (http.rb:276-278)
+            & (url_host(F.col("_d_redirect")) == url_host(F.col("final_url")))
+        )
+        to_follow = cur.where(is_redirect)
+        done = cur.where(~is_redirect)
+        if to_follow.isEmpty():
+            cur = done
+            break
+        followed = (
+            to_follow.withColumn("aliases", F.array_append("aliases", F.col("final_url")))
+            .withColumn("final_url", F.col("_d_redirect"))
+            .withColumn("_hops", F.col("_hops") + 1)
+            .drop("_d_url", "_d_code", "_d_spans", "_d_redirect")
+        )
+        followed = _join_docs(followed, docs, "final_url")
+        cur = done.unionByName(followed)
+
+    fetched = F.col("_d_url").isNotNull()
+    return (
+        cur.withColumn("fetched", fetched)
+        .withColumn("code", F.col("_d_code"))
+        .withColumn("spans", F.col("_d_spans"))
+        .withColumn("redirect_to", F.col("_d_redirect"))
+        .withColumn("error", F.when(~fetched, F.lit(SIM_ERROR)))
+        .withColumn(
+            "response_time", F.pmod(h60(F.col("final_url")), F.lit(1000)).cast("int")
+        )
+        .withColumn("fetched_at", F.lit(logical_now).cast("bigint"))
+        .drop("_d_url", "_d_code", "_d_spans", "_d_redirect", "_hops")
+    )

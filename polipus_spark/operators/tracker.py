@@ -76,9 +76,20 @@ class ExactTracker:
             return df
         return df.join(cur, df[key_col] == cur["key"], "left_anti")
 
-    def mark_seen(self, df: DataFrame, key_col: str) -> None:
+    def probe(self, df: DataFrame, key_col: str) -> DataFrame:
+        """df + boolean ``_seen`` column (exact membership via left join)."""
+        cur = self._current()
+        if cur is None:
+            return df.withColumn("_seen", F.lit(False))
+        marked = cur.withColumn("_seen_hit", F.lit(True))
+        out = df.join(marked, df[key_col] == marked["key"], "left").drop("key")
+        return out.withColumn("_seen", F.coalesce(F.col("_seen_hit"), F.lit(False))).drop(
+            "_seen_hit"
+        )
+
+    def mark_seen(self, df: DataFrame, key_col: str, wave: int | None = None) -> None:
         keys = df.select(F.col(key_col).alias("key")).distinct().withColumn("op", F.lit("add"))
-        self.table.append(keys, op="tracker_add")
+        self.table.append(keys, op="tracker_add", wave=wave)
 
     def remove(self, spark: SparkSession, keys: Iterable[str]) -> None:
         rows = [(k, "remove") for k in keys]
@@ -375,6 +386,9 @@ class CuckooTracker:
 
     def mark_seen(self, df: DataFrame, key_col: str, wave: int | None = None) -> None:
         self.table.append(self._apply(df, key_col, "insert"), op="cuckoo_insert", wave=wave)
+
+    def mark_seen_wave(self, df: DataFrame, key_col: str, wave: int | None = None) -> None:
+        self.mark_seen(df, key_col, wave=wave)
 
     def remove_df(self, df: DataFrame, key_col: str) -> None:
         self.table.append(self._apply(df, key_col, "delete"), op="cuckoo_delete")

@@ -10,8 +10,31 @@ Arrow is on because every Python-side kernel is a vectorized pandas UDF
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def _package_zip() -> str:
+    """Zip this package for worker shipment (the --py-files artifact).
+
+    Driver-side ``sys.path`` tweaks don't reach Python workers; on a real
+    cluster this zip is what ``spark-submit --py-files polipus_spark.zip``
+    distributes. Locally we addPyFile it so the library works from any cwd.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(tempfile.gettempdir(), "polipus_spark_pyfiles.zip")
+    with zipfile.ZipFile(out, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "polipus_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+    return out
 
 
 def build_session(
@@ -42,4 +65,5 @@ def build_session(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addPyFile(_package_zip())
     return spark

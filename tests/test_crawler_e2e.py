@@ -1,0 +1,188 @@
+"""E2E session parity: Spark crawler vs the reference-semantics simulator.
+
+Ports of /root/reference/spec/polipus_spec.rb scenarios (FIXTURES.md §4)
+over the deterministic synthetic corpus; parity = exact equality of crawl
+order, URL-seen set, stored-page set, and per-wave metrics
+(BASELINE.json:6,14).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from polipus_spark.config import CrawlOptions
+from polipus_spark.plans.crawler import PolipusCrawler
+from polipus_spark.simulator import CrawlSimulator
+from polipus_spark.sources.corpus import corpus_df, gen_corpus
+
+SEEDS = ["http://host0.example.com", "http://host1.example.com/"]
+
+
+def run_both(spark, work_dir, docs, opts, seeds):
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(seeds)
+    crawler = PolipusCrawler(spark, corpus_df(spark, docs), opts, work_dir)
+    crawler.takeover(seeds)
+    return sim, crawler
+
+
+def assert_parity(sim, crawler):
+    assert crawler.crawl_order() == sim.crawl_order
+    assert crawler.seen_set() == sim.seen
+    spark_pages = {
+        r["uuid"]: (r["url"], r["depth"], r["code"], r["error"], list(r["aliases"]))
+        for r in crawler.pages_df().collect()
+    }
+    sim_pages = {
+        p.uuid: (p.url, p.depth, p.code, p.error, p.aliases)
+        for p in sim.pages.values()
+    }
+    assert spark_pages == sim_pages
+    sim_m = [
+        (m["wave"], m["scheduled"], m["fetched"], m["errors"], m["enqueued"],
+         m["dedup_hits"], m["policy_dropped"])
+        for m in sim.metrics if m["scheduled"] > 0
+    ]
+    spark_m = [
+        (r["wave"], r["scheduled"], r["fetched"], r["errors"], r["enqueued"],
+         r["dedup_hits"], r["policy_dropped"])
+        for r in crawler.metrics.read().orderBy("wave").collect()
+    ]
+    assert spark_m == sim_m
+
+
+def test_depth1_session(spark, work_dir):
+    """spec/polipus_spec.rb:33-37: crawl completeness at depth_limit 1."""
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6, with_redirect_chain=False)
+    opts = CrawlOptions(depth_limit=1, max_waves=10)
+    sim, crawler = run_both(spark, work_dir, docs, opts, SEEDS)
+    assert sim.stats()["pages"] > 2  # seeds + their links
+    assert crawler.stats() == sim.stats()
+    assert_parity(sim, crawler)
+
+
+def test_full_crawl_with_redirects(spark, work_dir):
+    """Unbounded depth, redirect chains, cross-host redirect, 404s."""
+    docs = gen_corpus(n_hosts=4, max_docs_per_host=8, with_redirect_chain=True)
+    seeds = SEEDS + ["http://host0.example.com/moved", "http://host0.example.com/chain/0"]
+    opts = CrawlOptions(max_waves=20)
+    sim, crawler = run_both(spark, work_dir, docs, opts, seeds)
+    assert_parity(sim, crawler)
+
+
+def test_skip_links_like(spark, work_dir):
+    """spec/polipus_spec.rb:39-46: blacklist shrinks the stored set."""
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6, with_redirect_chain=False)
+    opts = CrawlOptions(depth_limit=2, skip_links_like=[r"/login"], max_waves=10)
+    sim, crawler = run_both(spark, work_dir, docs, opts, SEEDS)
+    assert not any("/login" in u for u in sim.crawl_order)
+    assert_parity(sim, crawler)
+
+
+def test_follow_links_like(spark, work_dir):
+    """spec/polipus_spec.rb:48-53: whitelist keeps only matching paths."""
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6, with_redirect_chain=False)
+    opts = CrawlOptions(depth_limit=2, follow_links_like=[r"^/page/\d+$", r"^/$"],
+                        max_waves=10)
+    sim, crawler = run_both(spark, work_dir, docs, opts, SEEDS)
+    assert_parity(sim, crawler)
+
+
+def test_error_page(spark, work_dir):
+    """spec/polipus_spec.rb:79-86: nonexistent doc → error page, hook fires."""
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=4, with_redirect_chain=False)
+    seeds = ["http://nowhere.example.com/"]
+    opts = CrawlOptions(max_waves=3)
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(seeds)
+    from polipus_spark.sources.corpus import corpus_df as cdf
+
+    crawler = PolipusCrawler(spark, cdf(spark, docs), opts, work_dir)
+    seen_errors = []
+    crawler.on_page_error.append(
+        lambda df: seen_errors.extend(r["url"] for r in df.collect())
+    )
+    crawler.takeover(seeds)
+    assert sim.stats()["errors"] == 1
+    assert crawler.stats() == sim.stats()
+    assert seen_errors == ["http://nowhere.example.com/"]
+    page = crawler.pages_df().collect()[0]
+    assert page["error"] is not None and not page["fetched"]
+
+
+def test_seeds_redownloaded_every_session(spark, work_dir):
+    """spec/polipus_spec.rb:67-77: seeds bypass page_exists in session 2."""
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=4, with_redirect_chain=False)
+    opts = CrawlOptions(depth_limit=0, max_waves=3)
+    crawler = PolipusCrawler(spark, corpus_df(spark, docs), opts, work_dir)
+    crawler.takeover(["http://host0.example.com/"])
+    crawler.takeover(["http://host0.example.com/"])  # second session
+    assert crawler.stats()["pages"] == 2  # downloaded twice
+    # but stored once (upsert on uuid)
+    assert crawler.pages_df().count() == 1
+
+
+def test_robots_obeyed(spark, work_dir):
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6, with_redirect_chain=False,
+                      robots_frac=1.0)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=10)
+    sim, crawler = run_both(spark, work_dir, docs, opts, SEEDS)
+    assert not any("/login" in u for u in sim.crawl_order)  # robots Disallow
+    assert_parity(sim, crawler)
+
+
+def test_ttl_recrawl(spark, work_dir):
+    """spec/polipus_spec.rb:55-65: expired pages re-fetched (tracker bypassed)."""
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=5, with_redirect_chain=False)
+    clock = lambda w: w * 10  # noqa: E731
+    opts = CrawlOptions(depth_limit=1, ttl_page=5, max_waves=10)
+    sim = CrawlSimulator(docs, opts, clock_fn=clock)
+    sim.takeover(["http://host0.example.com/"])
+    n_first = sim.stats()["pages"]
+    sim.takeover(["http://host0.example.com/"])  # session 2: everything expired
+    crawler = PolipusCrawler(spark, corpus_df(spark, docs), opts, work_dir,
+                             clock_fn=clock)
+    crawler.takeover(["http://host0.example.com/"])
+    crawler.takeover(["http://host0.example.com/"])
+    assert sim.stats()["pages"] >= 2 * n_first  # all re-fetched
+    assert crawler.stats() == sim.stats()
+    assert_parity(sim, crawler)
+
+
+def test_politeness_budget_parity(spark, work_dir):
+    """A6: per-host budget spreads a level over multiple waves — same final
+    state and order as the sequential oracle."""
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6, with_redirect_chain=False)
+    opts = CrawlOptions(depth_limit=2, per_host_budget=2, max_waves=30)
+    sim, crawler = run_both(spark, work_dir, docs, opts, SEEDS)
+    assert max(m["scheduled"] for m in sim.metrics) <= 2 * 3  # ≤ budget × hosts
+    assert_parity(sim, crawler)
+
+
+def test_resume_after_kill(spark, work_dir):
+    """north_rule: resumable from checkpoint — kill after wave 1, resume,
+    final state identical to the uninterrupted run."""
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6, with_redirect_chain=False)
+    opts_full = CrawlOptions(depth_limit=2, max_waves=20)
+    sim = CrawlSimulator(docs, opts_full)
+    sim.takeover(SEEDS)
+
+    opts_killed = CrawlOptions(depth_limit=2, max_waves=2)  # "crash" after 2 waves
+    c1 = PolipusCrawler(spark, corpus_df(spark, docs), opts_killed, work_dir)
+    c1.takeover(SEEDS)
+    # new process: fresh crawler over the same tables, resume
+    c2 = PolipusCrawler(spark, corpus_df(spark, docs), opts_full, work_dir)
+    c2.takeover(resume=True)
+    assert_parity(sim, c2)
+
+
+def test_bloom_tracker_e2e(spark, work_dir):
+    """Bloom mode completes and matches exact mode's stored pages (FPR≈0
+    at this scale)."""
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=5, with_redirect_chain=False)
+    opts = CrawlOptions(depth_limit=2, tracker_mode="bloom",
+                        bloom_capacity=100_000, max_waves=10, n_buckets=4)
+    crawler = PolipusCrawler(spark, corpus_df(spark, docs), opts, work_dir)
+    crawler.takeover(["http://host0.example.com/"])
+    sim = CrawlSimulator(docs, CrawlOptions(depth_limit=2, max_waves=10))
+    sim.takeover(["http://host0.example.com/"])
+    assert crawler.crawl_order() == sim.crawl_order
