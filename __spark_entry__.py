@@ -1,38 +1,789 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship job: a full crawl session (wave-loop BFS
+with dedup, robots, redirects) over the deterministic synthetic corpus and
+returns the resulting pages DataFrame.
+
+``queries()`` exposes every SURVEY §2 operator family plus the
+training-data-pipeline operators (dedup / similarity / text / multimodal) as
+standalone DataFrame queries over the driver's parquet tables at ``sf_dir``.
+``oracle_sql()`` gives the exact DuckDB equivalent for each. Crawl-shaped
+inputs (frontier rows, URLs, robots paths) are derived deterministically
+from the ``documents`` / ``events`` tables with arithmetic both engines
+reproduce bit-for-bit (md5-based hashes, integer outputs — no float
+aggregation in compared columns).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared derivation constants (mirrored literally in the oracle SQL)
+# ---------------------------------------------------------------------------
+N_HOSTS = 20
+POP_BUDGET = 5
+HOT_WINDOW = 1000
+CAPPED_MAX = 500
+TTL_SECONDS = 3600
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+HREF_RE = r'<a [^>]*?href="([^"]+)"'
+EN_STOP = ["the", "and", "of", "to", "in", "is", "that", "with"]
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# Derived URL corpus: every engine-side hash/string op is reproduced in the
+# oracle. doc_id%3 rows carry a query string, %7 rows a fragment.
+def _derived_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("http://host"),
+        (F.col("doc_id") % N_HOSTS).cast("string"),
+        F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?q="), (F.col("doc_id") % 5).cast("string"))).otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(""),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+_DERIVED_URLS_SQL = f"""
+  SELECT doc_id,
+         'http://host' || CAST(doc_id % {N_HOSTS} AS VARCHAR) || '.example.com/doc/'
+         || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '?q=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+"""
+
+
+# Derived frontier from events: deterministic priority/depth/host/seq.
+def _derived_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    host = F.concat(F.lit("host"), (F.col("user_id") % N_HOSTS).cast("string"),
+                    F.lit(".example.com"))
+    return e.select(
+        F.col("event_id").alias("seq"),
+        F.concat(F.lit("http://"), host, F.lit("/doc/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        host.alias("host"),
+        (F.col("event_id") % 3).cast("int").alias("priority"),
+        (F.col("event_id") % 4).cast("int").alias("depth"),
+        F.unix_timestamp("ts").cast("bigint").alias("discovery_ts"),
+    )
+
+
+_DERIVED_FRONTIER_SQL = f"""
+  SELECT event_id AS seq,
+         'http://host' || CAST(user_id % {N_HOSTS} AS VARCHAR) || '.example.com/doc/'
+           || CAST(event_id AS VARCHAR) AS url,
+         'host' || CAST(user_id % {N_HOSTS} AS VARCHAR) || '.example.com' AS host,
+         CAST(event_id % 3 AS INT) AS priority,
+         CAST(event_id % 4 AS INT) AS depth,
+         CAST(epoch(ts) AS BIGINT) AS discovery_ts
+  FROM events
+"""
+
+ORDER = ["priority", "depth", "discovery_ts", "seq"]
+ORDER_SQL = "priority, depth, discovery_ts, seq"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_x4_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5: storage uuid = md5(url), query-strip mode (storage/base.rb:11-17)."""
+    u = _derived_urls(spark, sf_dir)
+    return u.select(
+        "doc_id",
+        F.md5("url").alias("uuid"),
+        F.md5(F.regexp_replace("url", r"\?.*$", "")).alias("uuid_noquery"),
+    )
+
+
+def q_x1_canon_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 column tier: fragment strip, query strip, host, path('' → '/')."""
+    u = _derived_urls(spark, sf_dir)
+    nofrag = F.regexp_replace("url", r"#[a-zA-Z0-9_-]*$", "")
+    path = F.regexp_replace(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_replace(path, r"[?#].*$", "")
+    return u.select(
+        "doc_id",
+        nofrag.alias("url_nofrag"),
+        F.regexp_replace("url", r"\?.*$", "").alias("url_noquery"),
+        F.lower(F.regexp_extract("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)", 1)).alias("host"),
+        F.when(path == "", "/").otherwise(path).alias("path"),
+    )
+
+
+def q_o1_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/A6: salted window-rank pop — rank ≤ budget per host in FIFO order."""
+    fr = _derived_frontier(spark, sf_dir)
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER])
+    return (
+        fr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= POP_BUDGET)
+        .select("host", "url", "seq", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def q_o3_hot_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: hot-window cap — global FIFO top-k (spill stays pending)."""
+    fr = _derived_frontier(spark, sf_dir)
+    return fr.orderBy(*[F.col(c) for c in ORDER]).limit(HOT_WINDOW).select("seq", "url")
+
+
+def q_o4_capped_drop_oldest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: capped queue keeps the NEWEST max rows (drop-oldest)."""
+    fr = _derived_frontier(spark, sf_dir)
+    return fr.orderBy(F.col("seq").desc()).limit(CAPPED_MAX).select("seq", "url")
+
+
+def q_j8_unique_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: in-batch dedup on tracker key — first in FIFO order wins."""
+    fr = _derived_frontier(spark, sf_dir).withColumn(
+        "tracker_key", (F.col("seq") % 1000).cast("bigint")
+    )
+    w = Window.partitionBy("tracker_key").orderBy(*[F.col(c) for c in ORDER])
+    return (
+        fr.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("tracker_key", "seq", "url")
+    )
+
+
+def q_j4_exact_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: exact URL-seen anti-join (left_anti vs seen set)."""
+    u = _derived_urls(spark, sf_dir)
+    seen = u.where(F.col("doc_id") % 2 == 0).select(F.col("url").alias("seen_url"))
+    return u.join(seen, u["url"] == seen["seen_url"], "left_anti").select("doc_id", "url")
+
+
+def q_f13_code_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: success?/redirect?/not_found? classifiers (page.rb:110-151)."""
+    e = _events(spark, sf_dir)
+    code = (
+        F.when(F.col("event_id") % 10 == 6, 301)
+        .when(F.col("event_id") % 10 == 7, 302)
+        .when(F.col("event_id") % 10 == 8, 404)
+        .when(F.col("event_id") % 10 == 9, 500)
+        .otherwise(200)
+    )
+    d = e.select(F.col("event_id"), code.alias("code"))
+    return d.groupBy("code").agg(
+        F.count("*").alias("n"),
+        F.max(F.col("code").between(200, 206).cast("int")).alias("is_success"),
+        F.max((F.col("code").between(300, 399)).cast("int")).alias("is_redirect"),
+        F.max((F.col("code") == 404).cast("int")).alias("is_not_found"),
+    )
+
+
+def q_f1_policy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 arms 2-3: whitelist (any match) then blacklist (none match) on path."""
+    u = _derived_urls(spark, sf_dir)
+    path = F.regexp_replace("url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_replace(path, r"[?#].*$", "")
+    return (
+        u.withColumn("path", path)
+        .where(F.col("path").rlike(r"^/doc/"))       # whitelist
+        .where(~F.col("path").rlike(r"[48]$"))        # blacklist
+        .select("doc_id", "path")
+    )
+
+
+def q_f2_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: disallow-wins robots gate with the fixture's rules (literal regexes)."""
+    u = _derived_urls(spark, sf_dir)
+    path = F.concat(F.lit("/p"), (F.col("doc_id") % 11).cast("string"),
+                    F.when(F.col("doc_id") % 4 == 0, F.lit("/login/x")).otherwise(F.lit("/ok")))
+    d = u.select("doc_id", path.alias("path"))
+    denied = F.col("path").rlike(r"/login") | F.col("path").rlike(r"/locked")
+    return d.where(~denied).select("doc_id", "path")
+
+
+def q_f6_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: (now - ttl) > fetched_at boundary (page.rb:240-243)."""
+    e = _events(spark, sf_dir)
+    fetched_at = F.unix_timestamp("ts").cast("bigint")
+    d = e.select("event_id", fetched_at.alias("fetched_at"))
+    now = d.agg(F.max("fetched_at")).collect()[0][0]
+    return d.select(
+        "event_id",
+        ((F.lit(now) - F.lit(TTL_SECONDS)) > F.col("fetched_at")).alias("expired"),
+    )
+
+
+def q_a6_politeness_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: crawl-delay scheduling — budget = floor(60/delay), slot = rank·delay."""
+    fr = _derived_frontier(spark, sf_dir)
+    delay = (F.conv(F.substring(F.md5("host"), 1, 7), 16, 10).cast("bigint") % 5) + 1
+    fr = fr.withColumn("delay", delay)
+    w = Window.partitionBy("host").orderBy(*[F.col(c) for c in ORDER])
+    return (
+        fr.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.floor(F.lit(60) / F.col("delay")))
+        .select(
+            "host", "seq", F.col("delay").cast("bigint").alias("delay"),
+            ((F.col("rank") - 1) * F.col("delay")).cast("bigint").alias("fetch_slot"),
+        )
+    )
+
+
+def q_a3_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3/S10: per-wave fetched/error counters."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            (F.col("event_id") % 8).alias("wave"),
+            F.when(F.col("event_id") % 10 == 9, 1).otherwise(0).alias("is_err"),
+        )
+        .groupBy("wave")
+        .agg(F.count("*").alias("fetched"), F.sum("is_err").alias("errors"))
+    )
+
+
+def q_x2_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: href extraction from interleaved-span text (regexp, exploded)."""
+    d = _docs(spark, sf_dir)
+    span_text = F.concat(
+        F.lit('intro <a href="/doc/'), (F.col("doc_id") % 97).cast("string"),
+        F.lit('">l1</a> mid <a class="x" href="http://other.example.org/d/'),
+        (F.col("doc_id") % 13).cast("string"), F.lit('">l2</a> tail'),
+    )
+    return (
+        d.select("doc_id", F.explode(
+            F.regexp_extract_all(span_text, F.lit(HREF_RE), 1)
+        ).alias("link"))
+    )
+
+
+def q_f10_in_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: same-host (or alias) link filter."""
+    e = _events(spark, sf_dir)
+    page_host = F.concat(F.lit("h"), (F.col("event_id") % 5).cast("string"), F.lit(".com"))
+    link_host = F.concat(F.lit("h"), (F.col("event_id") % 7).cast("string"), F.lit(".com"))
+    d = e.select("event_id", page_host.alias("page_host"), link_host.alias("link_host"))
+    keep = (F.col("link_host") == F.col("page_host")) | F.col("link_host").isin(["h6.com"])
+    return d.where(keep)
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.text import lang_id
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.text import quality_class, quality_features
+
+    d = _docs(spark, sf_dir)
+    q = quality_features(F.col("text"))
+    return d.select(
+        "doc_id", q["n_chars"].alias("n_chars"), q["n_words"].alias("n_words"),
+        q["n_punct"].alias("n_punct"), q["n_stopwords"].alias("n_stopwords"),
+        q["total_word_len"].alias("total_word_len"),
+        quality_class(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.text import token_count, whitespace_token_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        whitespace_token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.text import fingerprint
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.dedup import exact_dup_groups
+
+    return exact_dup_groups(_docs(spark, sf_dir))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.dedup import simhash16
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(_docs(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.dedup import lsh_candidate_pairs, ngram_jaccard
+
+    d = _docs(spark, sf_dir)
+    return ngram_jaccard(d, lsh_candidate_pairs(d))
+
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5)
+
+
+def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polipus_spark.functions.similarity import ivf_assign
+
+    return ivf_assign(_emb(spark, sf_dir), n_centroids=8)
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata plumbing: opaque refs → typed metadata columns."""
+    d = _docs(spark, sf_dir)
+    ref = F.concat(F.lit("img://"), F.col("source"), F.lit("/"), F.col("doc_id").cast("string"))
+    payload = F.to_binary(F.md5(ref), F.lit("hex"))
+    return d.select(
+        "doc_id", ref.alias("media_ref"),
+        F.regexp_extract(ref, r"^([a-z]+)://", 1).alias("media_type"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap session ids per user (lag + cumsum)."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("_n", newsess)
+        .withColumn("session_id", F.sum("_n").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)).cast("bigint"))
+        .select("user_id", "event_id", "session_id")
+    )
+
+
+def q_tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic OLAP proof: Q1-style rollup with exact integer money (cents)."""
+    li = _lineitem(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.round(F.col("l_quantity")).cast("bigint")).alias("sum_qty"),
+            F.sum(cents).alias("revenue_cents"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q = {
+        "x4_uuid": q_x4_uuid,
+        "x1_canon_cols": q_x1_canon_cols,
+        "o1_frontier_pop": q_o1_frontier_pop,
+        "o3_hot_window": q_o3_hot_window,
+        "o4_capped_drop_oldest": q_o4_capped_drop_oldest,
+        "j8_unique_first": q_j8_unique_first,
+        "j4_exact_tracker": q_j4_exact_tracker,
+        "f13_code_classes": q_f13_code_classes,
+        "f1_policy_chain": q_f1_policy_chain,
+        "f2_robots_gate": q_f2_robots_gate,
+        "f6_ttl_expiry": q_f6_ttl_expiry,
+        "f10_in_domain": q_f10_in_domain,
+        "a6_politeness_slots": q_a6_politeness_slots,
+        "a3_metrics_rollup": q_a3_metrics_rollup,
+        "x2_link_extract": q_x2_link_extract,
+        "text_lang_id": q_text_lang_id,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "sim_bruteforce_topk": q_sim_bruteforce_topk,
+        "sim_ivf_assign": q_sim_ivf_assign,
+        "media_metadata": q_media_metadata,
+        "events_sessionize": q_events_sessionize,
+        "tpch_q1_style": q_tpch_q1_style,
+        # rows-only (no SQL oracle): the full crawl loop is stateful/iterative
+        "crawl_e2e_pages": q_crawl_e2e_pages,
+    }
+    return q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+def q_crawl_e2e_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full wave-loop crawl session (stateful/iterative — rows-only check);
+    pytest compares it exactly against the reference-semantics simulator."""
+    import tempfile
+
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.plans.crawler import PolipusCrawler
+    from polipus_spark.sources.corpus import corpus_df, gen_corpus
+
+    docs = gen_corpus(n_hosts=4, max_docs_per_host=8)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=8)
+    crawler = PolipusCrawler(
+        spark, corpus_df(spark, docs), opts, tempfile.mkdtemp(prefix="polipus_entry_")
+    )
+    crawler.takeover(["http://host0.example.com/", "http://host1.example.com/"])
+    return crawler.pages_df().select(
+        "uuid", "url", "referer", "depth", "code", "fetched", "error", "wave"
+    )
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: crawl session over the synthetic corpus (sf-independent)."""
+    return q_crawl_e2e_pages(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; views pre-registered)
+# ---------------------------------------------------------------------------
+
+
+def _lang_case_sql() -> str:
+    """Mirror text.lang_id's loop: iterate langs reverse-sorted, strict >."""
+    from polipus_spark.functions.text import LANG_MARKERS
+
+    score = {
+        lang: (
+            "len(list_filter(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+            f" w -> w <> ''), w -> w IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # loop semantics: best = und/0; for lang in reverse-sorted order: if s > best → take
+    expr_lang, expr_score = "'und'", "0"
+    for lang in sorted(score, reverse=True):
+        s = score[lang]
+        expr_lang = f"CASE WHEN {s} > ({expr_score}) THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > ({expr_score}) THEN {s} ELSE {expr_score} END"
+    return expr_lang
+
+
+def _minhash_sql_parts(n_perm: int = 16, shingle_k: int = 3) -> str:
+    """DuckDB expr for the minhash signature array (mirrors dedup.py)."""
+    from polipus_spark.functions.dedup import MERSENNE31, perm_coeffs
+
+    ws = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+    grams = (
+        f"CASE WHEN len({ws}) >= {shingle_k} THEN "
+        f"list_transform(range(1, len({ws}) - {shingle_k - 1} + 1), "
+        f"i -> array_to_string(list_slice({ws}, i, i + {shingle_k - 1}), ' ')) "
+        f"ELSE [array_to_string({ws}, ' ')] END"
+    )
+    base = (
+        f"list_transform(list_distinct({grams}), "
+        "s -> CAST(concat('0x', substr(md5(s), 1, 7)) AS BIGINT))"
+    )
+    mins = []
+    for i in range(n_perm):
+        a, b = perm_coeffs(i)
+        mins.append(
+            f"list_min(list_transform(__base, h -> (h * {a} + {b}) % {MERSENNE31}))"
+        )
+    return ws, base, mins
+
+
+def _minhash_banded_sql(n_bands: int = 4, rows_per_band: int = 4) -> str:
+    """CTE producing (id, band, bucket) — shared by lsh/jaccard oracles."""
+    _, base, mins = _minhash_sql_parts(n_bands * rows_per_band)
+    band_exprs = []
+    for bnd in range(n_bands):
+        parts = mins[bnd * rows_per_band:(bnd + 1) * rows_per_band]
+        joined = " || '_' || ".join(f"CAST(({p}) AS VARCHAR)" for p in parts)
+        band_exprs.append(f"SELECT id, {bnd} AS band, {joined} AS bucket FROM sigs")
+    return f"""
+    WITH sigs AS (
+      SELECT doc_id AS id, {base} AS __base FROM documents
+    ),
+    banded AS ({' UNION ALL '.join(band_exprs)})
     """
-    return {}
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(ws) >= 3 THEN
+      list_transform(range(1, len(ws) - 2 + 1), i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+    ELSE [array_to_string(ws, ' ')] END)) AS gram
+  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws
+        FROM documents)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    en_list = ", ".join(repr(w) for w in EN_STOP)
+    ws = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+    simhash_bits = " + ".join(
+        f"(CASE WHEN len(list_filter(hs, h -> (h >> {b}) & 1 = 1)) * 2 > len(hs) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    lsh_cte = _minhash_banded_sql()
+
+    return {
+        "x4_uuid": f"""
+          WITH u AS ({_DERIVED_URLS_SQL})
+          SELECT doc_id, md5(url) AS uuid,
+                 md5(regexp_replace(url, '\\?.*$', '')) AS uuid_noquery
+          FROM u
+        """,
+        "x1_canon_cols": f"""
+          WITH u AS ({_DERIVED_URLS_SQL})
+          SELECT doc_id,
+                 regexp_replace(url, '#[a-zA-Z0-9_-]*$', '') AS url_nofrag,
+                 regexp_replace(url, '\\?.*$', '') AS url_noquery,
+                 lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,
+                 CASE WHEN p = '' THEN '/' ELSE p END AS path
+          FROM (SELECT *,
+                regexp_replace(regexp_replace(regexp_replace(url, '#[a-zA-Z0-9_-]*$', ''),
+                  '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '[?#].*$', '') AS p
+                FROM u)
+        """,
+        "o1_frontier_pop": f"""
+          WITH fr AS ({_DERIVED_FRONTIER_SQL})
+          SELECT host, url, seq, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY host ORDER BY {ORDER_SQL}) AS rank
+            FROM fr)
+          WHERE rank <= {POP_BUDGET}
+        """,
+        "o3_hot_window": f"""
+          WITH fr AS ({_DERIVED_FRONTIER_SQL})
+          SELECT seq, url FROM fr ORDER BY {ORDER_SQL} LIMIT {HOT_WINDOW}
+        """,
+        "o4_capped_drop_oldest": f"""
+          WITH fr AS ({_DERIVED_FRONTIER_SQL})
+          SELECT seq, url FROM fr ORDER BY seq DESC LIMIT {CAPPED_MAX}
+        """,
+        "j8_unique_first": f"""
+          WITH fr AS ({_DERIVED_FRONTIER_SQL})
+          SELECT tracker_key, seq, url FROM (
+            SELECT *, CAST(seq % 1000 AS BIGINT) AS tracker_key,
+                   row_number() OVER (PARTITION BY seq % 1000 ORDER BY {ORDER_SQL}) AS _rn
+            FROM fr)
+          WHERE _rn = 1
+        """,
+        "j4_exact_tracker": f"""
+          WITH u AS ({_DERIVED_URLS_SQL})
+          SELECT doc_id, url FROM u
+          WHERE NOT EXISTS (
+            SELECT 1 FROM u s WHERE s.doc_id % 2 = 0 AND s.url = u.url)
+        """,
+        "f13_code_classes": """
+          SELECT code, count(*) AS n,
+                 max(CASE WHEN code BETWEEN 200 AND 206 THEN 1 ELSE 0 END) AS is_success,
+                 max(CASE WHEN code BETWEEN 300 AND 399 THEN 1 ELSE 0 END) AS is_redirect,
+                 max(CASE WHEN code = 404 THEN 1 ELSE 0 END) AS is_not_found
+          FROM (SELECT CASE WHEN event_id % 10 = 6 THEN 301
+                            WHEN event_id % 10 = 7 THEN 302
+                            WHEN event_id % 10 = 8 THEN 404
+                            WHEN event_id % 10 = 9 THEN 500
+                            ELSE 200 END AS code
+                FROM events)
+          GROUP BY code
+        """,
+        "f1_policy_chain": f"""
+          WITH u AS ({_DERIVED_URLS_SQL})
+          SELECT doc_id, path FROM (
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '[?#].*$', '') AS path
+            FROM u)
+          WHERE regexp_matches(path, '^/doc/') AND NOT regexp_matches(path, '[48]$')
+        """,
+        "f2_robots_gate": f"""
+          WITH u AS ({_DERIVED_URLS_SQL})
+          SELECT doc_id, path FROM (
+            SELECT doc_id, '/p' || CAST(doc_id % 11 AS VARCHAR) ||
+                   CASE WHEN doc_id % 4 = 0 THEN '/login/x' ELSE '/ok' END AS path
+            FROM u)
+          WHERE NOT (regexp_matches(path, '/login') OR regexp_matches(path, '/locked'))
+        """,
+        "f6_ttl_expiry": f"""
+          WITH d AS (SELECT event_id, CAST(epoch(ts) AS BIGINT) AS fetched_at FROM events)
+          SELECT event_id,
+                 ((SELECT max(fetched_at) FROM d) - {TTL_SECONDS}) > fetched_at AS expired
+          FROM d
+        """,
+        "f10_in_domain": """
+          SELECT event_id, page_host, link_host FROM (
+            SELECT event_id,
+                   'h' || CAST(event_id % 5 AS VARCHAR) || '.com' AS page_host,
+                   'h' || CAST(event_id % 7 AS VARCHAR) || '.com' AS link_host
+            FROM events)
+          WHERE link_host = page_host OR link_host IN ('h6.com')
+        """,
+        "a6_politeness_slots": f"""
+          WITH fr AS ({_DERIVED_FRONTIER_SQL}),
+          d AS (SELECT *,
+                (CAST(concat('0x', substr(md5(host), 1, 7)) AS BIGINT) % 5) + 1 AS delay
+                FROM fr),
+          r AS (SELECT *, row_number() OVER (PARTITION BY host ORDER BY {ORDER_SQL}) AS rank
+                FROM d)
+          SELECT host, seq, CAST(delay AS BIGINT) AS delay,
+                 CAST((rank - 1) * delay AS BIGINT) AS fetch_slot
+          FROM r WHERE rank <= floor(60 / delay)
+        """,
+        "a3_metrics_rollup": """
+          SELECT event_id % 8 AS wave, count(*) AS fetched,
+                 sum(CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END) AS errors
+          FROM events GROUP BY event_id % 8
+        """,
+        "x2_link_extract": f"""
+          SELECT doc_id, unnest(regexp_extract_all(
+            'intro <a href="/doc/' || CAST(doc_id % 97 AS VARCHAR)
+            || '">l1</a> mid <a class="x" href="http://other.example.org/d/'
+            || CAST(doc_id % 13 AS VARCHAR) || '">l2</a> tail',
+            '{HREF_RE}', 1)) AS link
+          FROM documents
+        """,
+        "text_lang_id": f"""
+          SELECT doc_id, {_lang_case_sql()} AS pred_lang FROM documents
+        """,
+        "text_quality": f"""
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len({ws}) AS BIGINT) AS n_words,
+                 CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) AS BIGINT) AS n_punct,
+                 CAST(len(list_filter({ws}, w -> w IN ({en_list}))) AS BIGINT) AS n_stopwords,
+                 CAST(list_sum(list_transform({ws}, w -> length(w))) AS BIGINT) AS total_word_len,
+                 CASE WHEN len({ws}) >= 20
+                       AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) * 100 <= length(text) * 20
+                       AND len(list_filter({ws}, w -> w IN ({en_list}))) * 100 >= len({ws}) * 2
+                      THEN 'keep' ELSE 'drop' END AS quality
+          FROM documents
+        """,
+        "text_tokens": f"""
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '{TOKEN_RE}', 0)) AS BIGINT) AS n_tokens,
+                 CAST(len({ws}) AS BIGINT) AS n_ws_tokens
+          FROM documents
+        """,
+        "text_fingerprint": """
+          SELECT doc_id,
+            list_reduce(list_slice(list_sort(hashes), 1, 4), (a, b) -> xor(a, b)) AS fp
+          FROM (
+            SELECT doc_id, list_transform(
+              CASE WHEN length(lower(text)) >= 8 THEN
+                list_transform(range(1, length(lower(text)) - 7 + 1),
+                               i -> substr(lower(text), CAST(i AS INT), 8))
+              ELSE [lower(text)] END,
+              s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hashes
+            FROM documents)
+        """,
+        "dedup_exact": """
+          SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_id
+          FROM documents GROUP BY md5(text)
+        """,
+        "dedup_simhash": f"""
+          SELECT doc_id, CAST({simhash_bits} AS BIGINT) AS simhash
+          FROM (SELECT doc_id, list_transform({ws},
+                  w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs
+                FROM documents)
+        """,
+        "dedup_minhash_lsh": lsh_cte + """
+          SELECT DISTINCT l.id AS id_a, r.id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id
+        """,
+        "dedup_ngram_jaccard": lsh_cte + f""",
+          pairs AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+          sh AS ({_SHINGLES_SQL}),
+          sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+          inter AS (
+            SELECT p.id_a, p.id_b, count(*) AS inter
+            FROM pairs p
+            JOIN sh a ON a.id = p.id_a
+            JOIN sh b ON b.id = p.id_b AND b.gram = a.gram
+            GROUP BY p.id_a, p.id_b)
+          SELECT i.id_a, i.id_b, i.inter,
+                 sa.n + sb.n - i.inter AS union_n
+          FROM inter i
+          JOIN sizes sa ON sa.id = i.id_a
+          JOIN sizes sb ON sb.id = i.id_b
+        """,
+        "sim_bruteforce_topk": """
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                              c.vec_id ASC) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          WHERE rank <= 5
+        """,
+        "sim_ivf_assign": """
+          WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cent
+            FROM embeddings ORDER BY vec_id LIMIT 8)
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                              c.centroid_id ASC) AS _rn
+            FROM embeddings e, cents c)
+          WHERE _rn = 1
+        """,
+        "media_metadata": """
+          SELECT doc_id,
+                 'img://' || source || '/' || CAST(doc_id AS VARCHAR) AS media_ref,
+                 'img' AS media_type,
+                 CAST(16 AS BIGINT) AS n_bytes
+          FROM documents
+        """,
+        "events_sessionize": """
+          SELECT user_id, event_id,
+                 CAST(sum(_n) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        THEN 1 ELSE 0 END AS _n
+            FROM events)
+        """,
+        "tpch_q1_style": """
+          SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                 sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+          FROM lineitem
+          WHERE l_shipdate <= DATE '1998-09-02'
+          GROUP BY l_returnflag, l_linestatus
+        """,
+    }

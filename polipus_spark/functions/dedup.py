@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families over the ``documents`` table, all designed Spark-first:
+
+  * **exact** — md5(text) groupBy; the cheap first pass.
+  * **MinHash + LSH** — word-shingle → 60-bit md5 hashes → per-permutation
+    min (Kirsch-Mitzenmacher style affine re-hash of one base hash, so no
+    per-permutation text scan) → band signatures → bucket self-join for
+    candidate pairs. The scale path: candidates ∝ collisions, never O(n²).
+  * **n-gram Jaccard** — exact verify on LSH candidates (|A∩B| / |A∪B| via
+    explode + groupBy, integer counts only).
+  * **SimHash** — 16-bit sign-aggregated fingerprint; near-dups differ in
+    ≤ k bits (Hamming ball join via pivoted bit costs is left to callers;
+    equality join on simhash catches the common exact-ish case).
+  * **embedding cosine** — see similarity.py.
+
+Everything is Column-tier (codegen), md5-based and integer-valued so each
+operator has an exact DuckDB oracle. Permutation i of MinHash is
+``(a_i * h + b_i) mod 2^61-1`` with a_i, b_i derived from md5(i) — the same
+formula is reproducible in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polipus_spark.functions.text import h60_str, words
+
+# MinHash arithmetic stays within int64 in BOTH engines (Spark ANSI mode and
+# DuckDB raise on bigint overflow): 28-bit base hashes × 28-bit coefficients
+# < 2^56, reduced mod the Mersenne prime 2^31-1.
+MERSENNE31 = (1 << 31) - 1
+
+
+def h28_str(col: Column) -> Column:
+    """28-bit md5 hash (first 7 hex chars) — the MinHash base hash."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (lowercased)."""
+    ws = words(text)
+    n = F.size(ws)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", ws)))
+    return F.array_distinct(grams)
+
+
+def perm_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic 28-bit affine permutation coefficients from md5(i)."""
+    import hashlib
+
+    d = hashlib.md5(f"perm{i}".encode()).hexdigest()
+    a = int(d[:7], 16) | 1  # odd
+    b = int(d[7:14], 16)
+    return a, b
+
+
+def minhash_signature(text: Column, n_perm: int = 16, shingle_k: int = 3) -> Column:
+    """Array of n_perm minhash values (bigint) for the document."""
+    base = F.transform(word_shingles(text, shingle_k), lambda s: h28_str(s))
+    sig = []
+    for i in range(n_perm):
+        a, b = perm_coeffs(i)
+        permuted = F.transform(
+            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
+        )
+        sig.append(F.array_min(permuted))
+    return F.array(*sig)
+
+
+def minhash_bands(sig: Column, n_bands: int = 4, rows_per_band: int = 4) -> list[Column]:
+    """Band signature strings: band_i = concat of its rows' minhashes."""
+    out = []
+    for b in range(n_bands):
+        parts = [
+            F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        ]
+        out.append(F.concat_ws("_", F.transform(parts[0], lambda x: x.cast("string"))))
+    return out
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: (id_a < id_b) sharing ≥1 band bucket.
+
+    Shuffle profile at scale: one explode to (band, bucket, id) — cardinality
+    n_docs × n_bands — then a groupBy-join on bucket; hot buckets are bounded
+    because identical-text clusters collapse to one bucket per band.
+    """
+    n_perm = n_bands * rows_per_band
+    sig = minhash_signature(F.col(text_col), n_perm, shingle_k)
+    bands = minhash_bands(sig, n_bands, rows_per_band)
+    banded = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.array(*bands)).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs → (id_a, id_b, inter, union_n).
+
+    Integer counts only; similarity = inter/union computed by the caller.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("gram"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("gram"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("gram"))
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .select(
+            "id_a", "id_b", "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_n"),
+        )
+    )
+    return out
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash from word hashes (sign aggregation per bit)."""
+    hs = F.transform(words(text), lambda w: h60_str(w))
+    acc = F.lit(0)
+    for bit in range(16):
+        ones = F.size(
+            F.filter(hs, lambda h: h.bitwiseAND(F.lit(1 << bit)) != 0)
+        )
+        zeros = F.size(hs) - ones
+        acc = acc + F.when(ones > zeros, F.lit(1 << bit)).otherwise(F.lit(0))
+    return acc.cast("bigint")
+
+
+def exact_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup: md5(text) groups → (hash, n_dups, keeper_id)."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Return docs with duplicates removed (keeper = min id per text hash)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis kernels for large-scale training-data pipelines.
+
+Beyond the reference's crawl operators: language-ID, quality scoring, token
+counting, and document fingerprinting over the ``documents`` table — the
+operations a 100 TB corpus pipeline runs right after crawling. All pure
+Column expressions (whole-stage codegen, predicate-pushdown friendly, no
+Python anywhere) and deliberately SQL-expressible so every one has an exact
+DuckDB oracle.
+
+Numeric outputs are integers (counts, numerators/denominators, 60-bit
+hashes) — never floats — so cross-engine value-hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets (n-gram heuristic): a document's
+# language is the argmax of distinct marker hits. Deterministic, oracle-able.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+    "es": ["el", "los", "las", "una", "por", "con", "para", "del"],
+}
+
+# BPE-ish tokenizer: letter runs | digit runs | single punctuation.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+WORD_SPLIT_RE = r"\s+"
+
+
+def words(text: Column) -> Column:
+    """Lowercased whitespace tokens (empty strings filtered)."""
+    return F.filter(
+        F.split(F.lower(text), WORD_SPLIT_RE), lambda w: w != ""
+    )
+
+
+def token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs + digit runs + punctuation marks."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    ws = words(text)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(ws, lambda w: w.isin(markers)))
+        out.append((lang, hits))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by marker hits; ties broken by language code order;
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate in reverse-sorted key order so earlier keys win ties via >
+    for lang, s in sorted(scores, key=lambda kv: kv[0], reverse=True):
+        take = s > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Integer quality features (ratios = emit numerator+denominator)."""
+    ws = words(text)
+    en = LANG_MARKERS["en"]
+    return {
+        "n_chars": F.length(text).cast("bigint"),
+        "n_words": F.size(ws).cast("bigint"),
+        "n_punct": F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0)).cast("bigint"),
+        "n_stopwords": F.size(F.filter(ws, lambda w: w.isin(en))).cast("bigint"),
+        "n_tokens": token_count(text).cast("bigint"),
+        "total_word_len": F.aggregate(
+            ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+        ),
+    }
+
+
+def quality_class(text: Column, min_words: int = 20, max_punct_ratio_pct: int = 20,
+                  min_stopword_ratio_pct: int = 2) -> Column:
+    """Keep/drop classification from integer ratio tests (×100, no floats)."""
+    q = quality_features(text)
+    keep = (
+        (q["n_words"] >= min_words)
+        & (q["n_punct"] * 100 <= q["n_chars"] * max_punct_ratio_pct)
+        & (q["n_stopwords"] * 100 >= q["n_words"] * min_stopword_ratio_pct)
+    )
+    return F.when(keep, F.lit("keep")).otherwise(F.lit("drop"))
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Array of k-char shingles (document fingerprinting unit)."""
+    t = F.lower(text)
+    n = F.length(t)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)), lambda i: F.substring(t, i, k)
+        ),
+    ).otherwise(F.array(t))
+
+
+def h60_str(col: Column) -> Column:
+    """60-bit md5 hash of a string column (same as urls.h60, local import cycle)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def fingerprint(text: Column, k: int = 8, keep: int = 4) -> Column:
+    """Bottom-k sketch over k-char shingle hashes → one bigint fingerprint.
+
+    A winnowing-style rolling-hash fingerprint: documents sharing most of
+    their text share the minimum shingle hashes. Combines the ``keep``
+    smallest 60-bit hashes with xor so the result is one stable bigint.
+    """
+    hashes = F.transform(char_shingles(text, k), lambda s: h60_str(s))
+    bottom = F.slice(F.array_sort(hashes), 1, keep)
+    return F.aggregate(
+        bottom, F.lit(0).cast("bigint"), lambda acc, h: acc.bitwiseXOR(h)
+    )
