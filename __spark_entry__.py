@@ -288,6 +288,29 @@ def q_f10_in_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(keep)
 
 
+def q_x9_ua_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: deterministic UA sampling — element_at(uas, md5(url) % n + 1)."""
+    from polipus_spark.functions.serde import sample_user_agent
+
+    u = _derived_urls(spark, sf_dir)
+    return u.select("doc_id", sample_user_agent(F.col("url"), ["bot-a", "bot-b", "bot-c"]).alias("ua"))
+
+
+def q_x6_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: JSON message parse (from_json field extraction)."""
+    u = _derived_urls(spark, sf_dir)
+    msg = F.concat(
+        F.lit('{"url": "'), F.col("url"), F.lit('", "depth": '),
+        (F.col("doc_id") % 4).cast("string"), F.lit("}"),
+    )
+    d = u.select("doc_id", msg.alias("message"))
+    return d.select(
+        "doc_id",
+        F.get_json_object("message", "$.url").alias("url"),
+        F.get_json_object("message", "$.depth").cast("bigint").alias("depth"),
+    )
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polipus_spark.functions.text import lang_id
 
@@ -423,6 +446,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_politeness_slots": q_a6_politeness_slots,
         "a3_metrics_rollup": q_a3_metrics_rollup,
         "x2_link_extract": q_x2_link_extract,
+        "x9_ua_sampling": q_x9_ua_sampling,
+        "x6_json_parse": q_x6_json_parse,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -667,6 +692,22 @@ def oracle_sql() -> dict[str, str]:
             || CAST(doc_id % 13 AS VARCHAR) || '">l2</a> tail',
             '{HREF_RE}', 1)) AS link
           FROM documents
+        """,
+        "x9_ua_sampling": f"""
+          WITH u AS ({_DERIVED_URLS_SQL})
+          SELECT doc_id, ['bot-a', 'bot-b', 'bot-c'][
+            CAST(CAST(concat('0x', substr(md5(url), 1, 7)) AS BIGINT) % 3 AS INT) + 1
+          ] AS ua
+          FROM u
+        """,
+        "x6_json_parse": f"""
+          WITH u AS ({_DERIVED_URLS_SQL})
+          SELECT doc_id,
+                 json_extract_string(msg, '$.url') AS url,
+                 CAST(json_extract_string(msg, '$.depth') AS BIGINT) AS depth
+          FROM (SELECT doc_id,
+                '{{"url": "' || url || '", "depth": ' || CAST(doc_id % 4 AS VARCHAR) || '}}' AS msg
+                FROM u)
         """,
         "text_lang_id": f"""
           SELECT doc_id, {_lang_case_sql()} AS pred_lang FROM documents

@@ -86,6 +86,32 @@ def minhash_bands(sig: Column, n_bands: int = 4, rows_per_band: int = 4) -> list
     return out
 
 
+def minhash_signature_agg(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Minhash signature via explode + groupBy — the scale formulation.
+
+    One md5 per (doc, distinct shingle) total; each permutation is a cheap
+    affine min-aggregate (map-side partial aggregation, AQE-sized shuffle).
+    Output: (id, m0..m{n_perm-1}). Same values as ``minhash_signature``.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("gram"),
+    ).select("id", h28_str(F.col("gram")).alias("h"))
+    aggs = []
+    for i in range(n_perm):
+        a, b = perm_coeffs(i)
+        aggs.append(
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)).alias(f"m{i}")
+        )
+    return sh.groupBy("id").agg(*aggs)
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -101,10 +127,16 @@ def lsh_candidate_pairs(
     because identical-text clusters collapse to one bucket per band.
     """
     n_perm = n_bands * rows_per_band
-    sig = minhash_signature(F.col(text_col), n_perm, shingle_k)
-    bands = minhash_bands(sig, n_bands, rows_per_band)
-    banded = docs.select(
-        F.col(id_col).alias("id"),
+    sigs = minhash_signature_agg(docs, id_col, text_col, n_perm, shingle_k)
+    bands = []
+    for bnd in range(n_bands):
+        cols = [
+            F.col(f"m{i}").cast("string")
+            for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+        ]
+        bands.append(F.concat_ws("_", *cols))
+    banded = sigs.select(
+        F.col("id"),
         F.posexplode(F.array(*bands)).alias("band", "bucket"),
     )
     left = banded.alias("l")

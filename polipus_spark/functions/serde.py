@@ -1,0 +1,61 @@
+"""X6 JSON serde + X9 UA sampling.
+
+X6 (page.rb:206-229, 245-269): the reference's wire format is JSON of
+Page#to_hash with nil/empty fields dropped. Our frontier/pages rows ARE the
+wire format, so serde is only needed for parity/interchange: ``page_to_json``
+emits the same field set; ``page_from_json`` parses it back with re-defaulted
+fields (from_hash semantics).
+
+X9 (http.rb:84-90): when ``user_agent`` is a list the reference samples one
+per request. Deterministic re-expression: index = hash(url) % n — stable
+across retries and engines (the reference's rand is not reproducible;
+determinism is required by our oracle protocol, deviation documented).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGE_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("referer", T.StringType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("aliases", T.ArrayType(T.StringType())),
+        T.StructField("redirect_to", T.StringType()),
+        T.StructField("response_time", T.IntegerType()),
+        T.StructField("fetched", T.BooleanType()),
+        T.StructField("fetched_at", T.LongType()),
+        T.StructField("error", T.StringType()),
+        T.StructField("user_data", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def page_to_json(df: DataFrame) -> DataFrame:
+    """Serialize page rows to the reference's JSON message shape
+    (ignore_null_fields drops nils like page.rb:224-229)."""
+    cols = [f.name for f in PAGE_JSON_SCHEMA.fields if f.name in df.columns]
+    return df.select(
+        F.to_json(F.struct(*cols), {"ignoreNullFields": "true"}).alias("message")
+    )
+
+
+def page_from_json(df: DataFrame, col: str = "message") -> DataFrame:
+    """Parse JSON messages back to page rows; absent fields re-default to
+    null (Page.from_hash re-defaults, page.rb:245-264)."""
+    return df.select(F.from_json(F.col(col), PAGE_JSON_SCHEMA).alias("p")).select("p.*")
+
+
+def sample_user_agent(url: Column, user_agents: list[str]) -> Column:
+    """X9: deterministic UA pick — element_at(list, hash(url) % n + 1)."""
+    if len(user_agents) == 1:
+        return F.lit(user_agents[0])
+    idx = (
+        F.conv(F.substring(F.md5(url), 1, 7), 16, 10).cast("bigint")
+        % len(user_agents)
+    ).cast("int") + 1
+    return F.element_at(F.array(*[F.lit(u) for u in user_agents]), idx)

@@ -1,0 +1,48 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() aligned,
+and a sample of oracles verified against DuckDB at sf0.001 (the full
+28-query check runs via tools/oracle_check.py at sf0.01)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def test_queries_have_oracles():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    missing = set(os_) - set(qs)
+    assert not missing, f"oracles without queries: {missing}"
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {"crawl_e2e_pages"}  # documented non-SQL op
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"uuid", "url", "depth", "code"} <= set(df.columns)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["x4_uuid", "o1_frontier_pop", "dedup_exact", "text_tokens", "sim_ivf_assign"],
+)
+def test_oracle_sample(spark, name):
+    from tools.oracle_check import normalize
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    sdf = entrymod.queries()[name](spark, SF)
+    srows = [r.asDict() for r in sdf.collect()]
+    ddf = con.sql(entrymod.oracle_sql()[name])
+    drows = [dict(zip(ddf.columns, row)) for row in ddf.fetchall()]
+    scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
+    assert scols == dcols
+    assert normalize(srows, scols) == normalize(drows, dcols)
