@@ -311,6 +311,37 @@ def q_x6_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_j5_redirect_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: bounded redirect-chain resolution (≤3 hops) as iterated left joins
+    — the driver-loop shape of operators/fetch.py on a derived redirect map
+    (doc_id%10<3 ⇒ redirect to doc_id+1, so chains 0→1→2→3 exist)."""
+    d = _docs(spark, sf_dir)
+    mk_url = lambda c: F.concat(F.lit("http://r.example.com/doc/"), c.cast("string"))  # noqa: E731
+    base = d.select(
+        "doc_id",
+        mk_url(F.col("doc_id")).alias("url"),
+        F.when(F.col("doc_id") % 10 < 3, mk_url(F.col("doc_id") + 1)).alias("redir"),
+    )
+    r = base.select(
+        "doc_id", F.col("url").alias("final_url"), F.col("redir").alias("_nxt"),
+        F.lit(0).alias("n_hops"),
+    )
+    hop_map = base.select(F.col("url").alias("_u"), F.col("redir").alias("_r"))
+    for _ in range(3):
+        r = (
+            r.join(hop_map, r["_nxt"] == hop_map["_u"], "left")
+            .select(
+                "doc_id",
+                F.when(F.col("_nxt").isNotNull(), F.col("_nxt"))
+                .otherwise(F.col("final_url")).alias("final_url"),
+                F.when(F.col("_nxt").isNotNull(), F.col("_r")).alias("_nxt"),
+                F.when(F.col("_nxt").isNotNull(), F.col("n_hops") + 1)
+                .otherwise(F.col("n_hops")).alias("n_hops"),
+            )
+        )
+    return r.select("doc_id", "final_url", F.col("n_hops").cast("int").alias("n_hops"))
+
+
 def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polipus_spark.functions.text import lang_id
 
@@ -448,6 +479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_link_extract": q_x2_link_extract,
         "x9_ua_sampling": q_x9_ua_sampling,
         "x6_json_parse": q_x6_json_parse,
+        "j5_redirect_chain": q_j5_redirect_chain,
         "text_lang_id": q_text_lang_id,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
@@ -708,6 +740,32 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id,
                 '{{"url": "' || url || '", "depth": ' || CAST(doc_id % 4 AS VARCHAR) || '}}' AS msg
                 FROM u)
+        """,
+        "j5_redirect_chain": """
+          WITH base AS (
+            SELECT doc_id,
+                   'http://r.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN doc_id % 10 < 3
+                        THEN 'http://r.example.com/doc/' || CAST(doc_id + 1 AS VARCHAR)
+                   END AS redir
+            FROM documents),
+          h0 AS (SELECT doc_id, url AS final_url, redir AS nxt, 0 AS n_hops FROM base),
+          h1 AS (SELECT h.doc_id,
+                        CASE WHEN h.nxt IS NOT NULL THEN h.nxt ELSE h.final_url END AS final_url,
+                        CASE WHEN h.nxt IS NOT NULL THEN b.redir END AS nxt,
+                        CASE WHEN h.nxt IS NOT NULL THEN h.n_hops + 1 ELSE h.n_hops END AS n_hops
+                 FROM h0 h LEFT JOIN base b ON h.nxt = b.url),
+          h2 AS (SELECT h.doc_id,
+                        CASE WHEN h.nxt IS NOT NULL THEN h.nxt ELSE h.final_url END AS final_url,
+                        CASE WHEN h.nxt IS NOT NULL THEN b.redir END AS nxt,
+                        CASE WHEN h.nxt IS NOT NULL THEN h.n_hops + 1 ELSE h.n_hops END AS n_hops
+                 FROM h1 h LEFT JOIN base b ON h.nxt = b.url),
+          h3 AS (SELECT h.doc_id,
+                        CASE WHEN h.nxt IS NOT NULL THEN h.nxt ELSE h.final_url END AS final_url,
+                        CASE WHEN h.nxt IS NOT NULL THEN b.redir END AS nxt,
+                        CASE WHEN h.nxt IS NOT NULL THEN h.n_hops + 1 ELSE h.n_hops END AS n_hops
+                 FROM h2 h LEFT JOIN base b ON h.nxt = b.url)
+          SELECT doc_id, final_url, CAST(n_hops AS INT) AS n_hops FROM h3
         """,
         "text_lang_id": f"""
           SELECT doc_id, {_lang_case_sql()} AS pred_lang FROM documents

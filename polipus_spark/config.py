@@ -37,6 +37,9 @@ class CrawlOptions:
     bloom_capacity: int = 1_000_000   # url_tracker.rb:6
     bloom_error_rate: float = 0.01    # url_tracker.rb:7
     storage_enabled: bool = True      # devnull storage when False (storage/dev_null.rb)
+    storage_except_cols: list[str] = field(default_factory=list)  # X11 (mongo_store.rb:27)
+    retry_limit: int = 0              # O6: re-enqueue error pages ≤ N times
+                                      # (http.rb:217 retries / examples/error_handling.rb)
     max_waves: int | None = None      # safety stop for tests
 
     def whitelist_enabled(self) -> bool:

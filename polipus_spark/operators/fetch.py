@@ -32,13 +32,22 @@ from polipus_spark.functions.urls import h60, url_host
 SIM_ERROR = "connection refused (simulated)"
 
 
-def _join_docs(wave: DataFrame, docs: DataFrame, url_expr: str) -> DataFrame:
+def _join_docs(
+    wave: DataFrame, docs: DataFrame, url_expr: str, broadcast_wave: bool = True
+) -> DataFrame:
     d = docs.select(
         F.col("doc_id").alias("_d_url"),
         F.col("code").alias("_d_code"),
         F.col("spans").alias("_d_spans"),
         F.col("redirect_to").alias("_d_redirect"),
     )
+    if broadcast_wave:
+        # wave LEFT JOIN docs would shuffle the (huge) corpus every wave.
+        # Same result as docs RIGHT OUTER broadcast(wave): the wave (bounded
+        # by the hot-window cap) broadcasts, the corpus only streams —
+        # no corpus shuffle per wave. On an Iceberg deployment this becomes
+        # a storage-partitioned join on bucket(doc_id).
+        return d.join(F.broadcast(wave), wave[url_expr] == d["_d_url"], "right_outer")
     return wave.join(d, wave[url_expr] == d["_d_url"], "left")
 
 

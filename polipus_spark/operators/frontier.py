@@ -74,11 +74,12 @@ class Frontier:
         # In-batch dedup on tracker_key: the reference processes links
         # sequentially, so the FIRST discovery enqueues and tracker-marks the
         # URL and later ones hit the tracker (lib/polipus.rb:389-390,429-435).
-        # Seeds are exempt — add_url never consults the tracker (166-168).
+        # Seeds and retries (link_pos = -1) are exempt — add_url enqueues
+        # unconditionally, never consulting the tracker (166-168, 359-363).
         w = Window.partitionBy("tracker_key").orderBy("parent_seq", "link_pos", "url")
         deduped = (
             enriched.withColumn("_rn", F.row_number().over(w))
-            .where((F.col("_rn") == 1) | F.col("is_seed"))
+            .where((F.col("_rn") == 1) | F.col("is_seed") | (F.col("link_pos") < 0))
             .drop("_rn")
         )
         with_seq = with_global_seq(

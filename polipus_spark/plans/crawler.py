@@ -319,10 +319,24 @@ class PolipusCrawler:
             for hook in self.on_page_error:
                 hook(errs)
 
+        # O6 retry: error pages with attempts left are NOT stored and get
+        # re-enqueued unconditionally (http.rb:217 retries /
+        # examples/error_handling.rb add_to_queue pattern).
+        retry_cnt = F.coalesce(
+            F.element_at(F.col("user_data"), "retry").cast("int"), F.lit(0)
+        )
+        will_retry = (
+            F.col("error").isNotNull()
+            & F.lit(o.retry_limit > 0)
+            & (retry_cnt < F.lit(o.retry_limit))
+        )
+
         # on_before_save may mutate (e.g. set storable=false, F11)
-        to_save = fetched.withColumn("storable", F.lit(True))
+        to_save = fetched.withColumn("storable", ~will_retry)
         for hook in self.on_before_save:
             to_save = hook(to_save)
+        if o.storage_enabled is False:  # S9 devnull storage
+            to_save = to_save.withColumn("storable", F.lit(False))
 
         page_rows = (
             to_save.where(F.col("storable"))
@@ -335,11 +349,13 @@ class PolipusCrawler:
                 "response_time", "fetched", "fetched_at", "error", "is_seed",
                 "user_data", F.lit(wave).alias("wave"),
             )
+            .drop(*[c for c in o.storage_except_cols])  # X11 (mongo_store.rb:27)
         )
-        m["fetched"] = page_rows.count()
-        if m["fetched"]:
+        m["fetched"] = fetched.count()  # processed pages (incr_pages analog)
+        m["stored"] = page_rows.count()
+        if m["stored"]:
             self.pages.append(page_rows, op="pages_upsert", wave=wave,
-                              metrics={"fetched": m["fetched"]})
+                              metrics={"stored": m["stored"]})
         for hook in self.on_page_downloaded:
             hook(fetched)
 
@@ -347,6 +363,30 @@ class PolipusCrawler:
         expandable = fetched.where(F.col("spans").isNotNull())
         if o.depth_limit is not None:
             expandable = expandable.where(F.col("depth") < F.lit(o.depth_limit))
+
+        # O6 retry candidates: bypass every gate (add_url semantics); seq is
+        # assigned by (parent_seq, link_pos=-1) so a retry interleaves exactly
+        # where the sequential reference would enqueue it.
+        to_push = []
+        if o.retry_limit > 0:
+            retries = fetched.where(will_retry).select(
+                F.col("url"),
+                F.col("referer"),
+                F.col("depth"),
+                F.col("priority"),
+                F.lit(False).alias("is_seed"),
+                F.map_from_arrays(
+                    F.array(F.lit("retry")),
+                    F.array((retry_cnt + 1).cast("string")),
+                ).cast(USER_DATA_T).alias("user_data"),
+                F.col("seq").alias("parent_seq"),
+                F.lit(-1).alias("link_pos"),
+            )
+            m["retried"] = retries.count()
+            if m["retried"]:
+                to_push.append(retries)
+        else:
+            m["retried"] = 0
 
         enqueued = 0
         new_next_seq = next_seq
@@ -409,20 +449,30 @@ class PolipusCrawler:
             passed = probed.where(F.col("_force") | ~F.col("_seen")).drop(
                 "_seen", "_force"
             )
-            passed = passed.drop("host").persist()
-            n_passed = passed.count()
-            if n_passed:
+            passed = passed.drop("host", "_tkey")
+            to_push.append(passed)
+
+        if to_push:
+            batch = to_push[0]
+            for extra in to_push[1:]:
+                batch = batch.unionByName(extra)
+            batch = batch.persist()
+            if batch.count():
                 enqueued, new_next_seq, appended = self.frontier.push(
-                    passed.drop("_tkey"), wave=wave, next_seq=next_seq
+                    batch, wave=wave, next_seq=next_seq
                 )
                 if appended is not None:
-                    # J2: mark seen at ENQUEUE time (§3.2) — exactly the rows
-                    # that survived in-batch dedup and were appended.
+                    # J2: mark seen at ENQUEUE time (§3.2) — exactly the link
+                    # rows that survived in-batch dedup and were appended.
+                    # Seeds and retries (link_pos<0) are never tracker-marked
+                    # (add_url skips the tracker, lib/polipus.rb:359-363).
                     self.tracker.mark_seen(
-                        appended.where(~F.col("is_seed")), "tracker_key", wave=wave
+                        appended.where(~F.col("is_seed") & (F.col("link_pos") >= 0)),
+                        "tracker_key",
+                        wave=wave,
                     )
                     appended.unpersist()
-            passed.unpersist()
+            batch.unpersist()
 
         m["enqueued"] = enqueued
         m["next_seq"] = new_next_seq
@@ -468,15 +518,15 @@ class PolipusCrawler:
             row = (
                 m["wave"], m["clock"], m.get("scheduled", 0),
                 m.get("dedup_hits", 0), m.get("policy_dropped", 0),
-                m.get("fetched", 0), m.get("errors", 0),
-                m.get("enqueued", 0), m["next_seq"],
+                m.get("fetched", 0), m.get("stored", 0), m.get("errors", 0),
+                m.get("enqueued", 0), m.get("retried", 0), m["next_seq"],
             )
             self.metrics.append(
                 self.spark.createDataFrame(
                     [row],
                     "wave int, clock bigint, scheduled long, dedup_hits long, "
-                    "policy_dropped long, fetched long, errors long, "
-                    "enqueued long, next_seq long",
+                    "policy_dropped long, fetched long, stored long, "
+                    "errors long, enqueued long, retried long, next_seq long",
                 ),
                 op="wave_metrics",
                 wave=wave,
@@ -514,3 +564,14 @@ class PolipusCrawler:
             F.sum("fetched").alias("p"), F.sum("errors").alias("e")
         ).collect()[0]
         return {"pages": agg["p"] or 0, "errors": agg["e"] or 0}
+
+    def host_stats(self) -> DataFrame:
+        """A5: per-host fetch counts per wave (http.rb:225-239 politeness
+        accounting analog)."""
+        from polipus_spark.functions.urls import url_host
+
+        return (
+            self.pages.read()
+            .groupBy("wave", url_host(F.col("url")).alias("host"))
+            .agg(F.count("*").alias("fetches"))
+        )

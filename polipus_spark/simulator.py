@@ -238,6 +238,7 @@ class CrawlSimulator:
             return m
 
         dedup_hits = policy_dropped = fetched_n = errors = enqueued = 0
+        stored_n = retried = 0
         for row in popped:  # already in oracle order
             if not self._policy_pass(row["url"]):   # F7
                 policy_dropped += 1
@@ -251,6 +252,25 @@ class CrawlSimulator:
                 dedup_hits += 1  # redirect-final re-check (lib/polipus.rb:208-212)
                 continue
             if doc is None:
+                errors += 1
+                retry_cnt = int((row.get("user_data") or {}).get("retry", "0"))
+                if o.retry_limit > 0 and retry_cnt < o.retry_limit:
+                    fetched_n += 1  # processed but not stored
+                    # O6: not stored; re-enqueued unconditionally (add_url)
+                    retried += 1
+                    enqueued += 1
+                    self.frontier.append(
+                        dict(
+                            url=row["url"], tracker_key=row["tracker_key"],
+                            uuid=row["uuid"], host=row["host"],
+                            referer=row["referer"], depth=row["depth"],
+                            priority=row["priority"], discovery_ts=wave,
+                            seq=self.next_seq, is_seed=False,
+                            user_data={"retry": str(retry_cnt + 1)},
+                        )
+                    )
+                    self.next_seq += 1
+                    continue
                 page = SimPage(
                     uuid=final_uuid, url=final_url, requested_url=row["url"],
                     referer=row["referer"], depth=row["depth"], code=None,
@@ -258,7 +278,6 @@ class CrawlSimulator:
                     fetched_at=now, error=SIM_ERROR, is_seed=row["is_seed"],
                     wave=wave,
                 )
-                errors += 1
             else:
                 page = SimPage(
                     uuid=final_uuid, url=final_url, requested_url=row["url"],
@@ -272,6 +291,7 @@ class CrawlSimulator:
             self.pages[page.uuid] = page
             self.crawl_order.append(row["url"])
             fetched_n += 1
+            stored_n += 1
 
             # link expansion (F5 depth gate)
             if doc is None or not doc["spans"]:
@@ -304,6 +324,7 @@ class CrawlSimulator:
         m.update(
             fetched=fetched_n, errors=errors, enqueued=enqueued,
             dedup_hits=dedup_hits, policy_dropped=policy_dropped,
+            stored=stored_n, retried=retried,
         )
         self.metrics.append(m)
         return m

@@ -186,3 +186,22 @@ def test_bloom_tracker_e2e(spark, work_dir):
     sim = CrawlSimulator(docs, CrawlOptions(depth_limit=2, max_waves=10))
     sim.takeover(["http://host0.example.com/"])
     assert crawler.crawl_order() == sim.crawl_order
+
+
+def test_error_retry_parity(spark, work_dir):
+    """O6: error pages re-enqueued ≤ retry_limit times, unstored until the
+    final attempt; full order/metrics parity with the oracle."""
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=4, with_redirect_chain=False)
+    seeds = ["http://host0.example.com/", "http://ghost.example.com/"]
+    opts = CrawlOptions(depth_limit=1, retry_limit=2, max_waves=10)
+    sim, crawler = run_both(spark, work_dir, docs, opts, seeds)
+    assert sum(m.get("retried", 0) for m in sim.metrics) == 2  # two retries
+    assert sim.stats()["errors"] == 3  # original + 2 retries
+    assert_parity(sim, crawler)
+    retried_m = [
+        (r["wave"], r["retried"], r["stored"])
+        for r in crawler.metrics.read().orderBy("wave").collect()
+    ]
+    sim_m = [(m["wave"], m["retried"], m["stored"]) for m in sim.metrics
+             if m["scheduled"] > 0]
+    assert retried_m == sim_m
