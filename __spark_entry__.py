@@ -419,6 +419,32 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(_emb(spark, sf_dir), n_centroids=8)
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.5; the sf tables contain
+    exactly one such pair — boundary gap 0.013, safe for float compare)."""
+    from polipus_spark.functions.similarity import near_dup_pairs
+
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.5)
+
+
+def q_tpch_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-heavy OLAP proof (Q3 shape): segment filter → 3-way join →
+    per-order revenue in exact integer cents → top 10."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata plumbing: opaque refs → typed metadata columns."""
     d = _docs(spark, sf_dir)
@@ -490,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "tpch_q3_style": q_tpch_q3_style,
         "media_metadata": q_media_metadata,
         "events_sessionize": q_events_sessionize,
         "tpch_q1_style": q_tpch_q1_style,
@@ -858,6 +886,24 @@ def oracle_sql() -> dict[str, str]:
                               c.centroid_id ASC) AS _rn
             FROM embeddings e, cents c)
           WHERE _rn = 1
+        """,
+        "dedup_embedding_cosine": """
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND list_cosine_similarity(a.embedding, b.embedding) > 0.5
+        """,
+        "tpch_q3_style": """
+          SELECT o_orderkey,
+                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                   AS revenue_cents
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+          GROUP BY o_orderkey
+          ORDER BY revenue_cents DESC, o_orderkey ASC
+          LIMIT 10
         """,
         "media_metadata": """
           SELECT doc_id,

@@ -152,6 +152,35 @@ def ivf_topk(
     )
 
 
+def near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh_prefilter: bool = False,
+    n_bits: int = 8,
+    dim: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine > threshold).
+
+    Baseline = full self-join with a JVM-side cosine (correct, O(n²) — fine
+    when one side broadcasts). Scale path = ``use_lsh_prefilter``: only pairs
+    sharing a hyperplane-sketch bucket are scored (recall < 1 by design,
+    governed by n_bits)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    if use_lsh_prefilter:
+        cand = lsh_bucket_candidates(corpus, n_bits, dim, id_col, vec_col)
+        pairs = cand.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
+        .where(F.col("_sim") > threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def hyperplane_bits(vec: Column, n_bits: int = 8, dim: int = 16) -> Column:
     """Random-hyperplane LSH sketch: bit j = sign(dot(v, h_j)) with
     h_j[d] = (md5-derived uniform in [-0.5, 0.5]). Deterministic."""
