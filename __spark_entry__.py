@@ -742,7 +742,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a3_metrics_rollup": """
           SELECT event_id % 8 AS wave, count(*) AS fetched,
-                 sum(CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END) AS errors
+                 CAST(sum(CASE WHEN event_id % 10 = 9 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS errors
           FROM events GROUP BY event_id % 8
         """,
         "x2_link_extract": f"""
@@ -895,8 +896,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q3_style": """
           SELECT o_orderkey,
-                 sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
-                   AS revenue_cents
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
           FROM customer
           JOIN orders ON c_custkey = o_custkey
           JOIN lineitem ON o_orderkey = l_orderkey
@@ -925,8 +926,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tpch_q1_style": """
           SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-                 sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty,
-                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS revenue_cents
+                 CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS revenue_cents
           FROM lineitem
           WHERE l_shipdate <= DATE '1998-09-02'
           GROUP BY l_returnflag, l_linestatus
