@@ -421,10 +421,26 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.5; the sf tables contain
-    exactly one such pair — boundary gap 0.013, safe for float compare)."""
+    exactly one such pair — boundary gap 0.013, safe for float compare).
+    ``exact=True``: this entry is the O(n²) correctness baseline; the scale
+    path (the library default) is oracled by dedup_embedding_lsh."""
     from polipus_spark.functions.similarity import near_dup_pairs
 
-    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.5)
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.5, exact=True)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup path — the library DEFAULT and the 100 TB scale
+    path: candidates ∝ hyperplane-bucket collisions, never n². The DuckDB
+    oracle inlines the identical md5-derived hyperplanes, so the banded
+    buckets (and thus the pair set) must match bit-for-bit. Banding (L=8,
+    b=4) is tuned to this threshold (0.5 — the synthetic corpus's only
+    near-dup pair sits at 0.513); the library default (L=16, b=8) targets
+    the usual 0.9 near-dup threshold."""
+    from polipus_spark.functions.similarity import near_dup_pairs
+
+    return near_dup_pairs(_emb(spark, sf_dir), threshold=0.5,
+                          n_bands=8, bits_per_band=4)
 
 
 def q_tpch_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "tpch_q3_style": q_tpch_q3_style,
         "media_metadata": q_media_metadata,
         "events_sessionize": q_events_sessionize,
@@ -599,6 +616,34 @@ def _minhash_sql_parts(n_perm: int = 16, shingle_k: int = 3) -> str:
             f"list_min(list_transform(__base, h -> (h * {a} + {b}) % {MERSENNE31}))"
         )
     return ws, base, mins
+
+
+def _hyperplane_band_sql(n_bands: int = 8, bits_per_band: int = 4,
+                         dim: int = 64) -> str:
+    # (L=8, b=4) matches q_dedup_embedding_lsh's explicit banding.
+    """CTEs ``ev`` (double-cast embeddings) and ``hb`` (vec_id, band, bucket)
+    replicating similarity.band_sketches: identical md5-derived hyperplane
+    constants inlined, dots in double in both engines → bit-identical
+    buckets."""
+    from polipus_spark.functions.similarity import hyperplane_components
+
+    selects = []
+    for band in range(n_bands):
+        bits = []
+        for j in range(bits_per_band):
+            arr = "[" + ", ".join(repr(c) for c in hyperplane_components(band, j, dim)) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) > 0 THEN {1 << j} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT vec_id, {band} AS band, CAST({' + '.join(bits)} AS BIGINT)"
+            " AS bucket FROM ev"
+        )
+    union = " UNION ALL ".join(selects)
+    return (
+        "WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),\n hb AS (" + union + ")"
+    )
 
 
 def _minhash_banded_sql(n_bands: int = 4, rows_per_band: int = 4) -> str:
@@ -893,6 +938,17 @@ def oracle_sql() -> dict[str, str]:
           FROM embeddings a, embeddings b
           WHERE a.vec_id < b.vec_id
             AND list_cosine_similarity(a.embedding, b.embedding) > 0.5
+        """,
+        "dedup_embedding_lsh": _hyperplane_band_sql() + """,
+          cand AS (
+            SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+            FROM hb l JOIN hb r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.vec_id < r.vec_id)
+          SELECT c.id_a, c.id_b
+          FROM cand c
+          JOIN ev a ON a.vec_id = c.id_a
+          JOIN ev b ON b.vec_id = c.id_b
+          WHERE list_cosine_similarity(a.v, b.v) > 0.5
         """,
         "tpch_q3_style": """
           SELECT o_orderkey,

@@ -33,6 +33,11 @@ class CrawlOptions:
     per_host_budget: int | None = None   # max fetches per host per wave (politeness);
                                          # None = unlimited (reference default: no Sleeper)
     wave_seconds: float = 60.0   # logical wave duration; budget = wave_seconds/crawl_delay
+    broadcast_wave_max_rows: int = 250_000  # fetch join: broadcast the popped wave
+                                         # only when it's at most this many rows
+                                         # (~tens of MB); bigger waves fall back to
+                                         # a plain left join under AQE so an
+                                         # unlimited-budget wave can't OOM the driver
     tracker_mode: str = "exact"  # 'exact' | 'bloom' | 'cuckoo' (url_tracker.rb:4-19)
     bloom_capacity: int = 1_000_000   # url_tracker.rb:6
     bloom_error_rate: float = 0.01    # url_tracker.rb:7

@@ -157,23 +157,34 @@ def near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh_prefilter: bool = False,
-    n_bits: int = 8,
-    dim: int = 16,
+    exact: bool = False,
+    n_bands: int = 16,
+    bits_per_band: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine > threshold).
 
-    Baseline = full self-join with a JVM-side cosine (correct, O(n²) — fine
-    when one side broadcasts). Scale path = ``use_lsh_prefilter``: only pairs
-    sharing a hyperplane-sketch bucket are scored (recall < 1 by design,
-    governed by n_bits)."""
+    **Default = banded-LSH prefilter** (the scale path): only pairs sharing at
+    least one hyperplane-sketch band bucket are cosine-scored. Candidates grow
+    with bucket collisions, not n² — survives 100 TB. Recall < 1 by design,
+    governed by (n_bands, bits_per_band): P(candidate) = 1-(1-p^b)^L with
+    p = 1 - angle/pi. The defaults (L=16 bands × b=8 bits) are tuned for the
+    default threshold 0.9: recall ~0.996 there, while unrelated pairs
+    (cosine ≲ 0.2) collide <10% — measured 7.1% on the sf0.01 embeddings vs
+    40% for (L=8, b=4). Lower thresholds need coarser bands: (L=8, b=4)
+    gives ~0.84 recall at cosine 0.5 (what the oracle entry uses).
+
+    ``exact=True`` = full O(n²) self-join with a JVM-side cosine — the
+    correctness baseline / oracle mode only, never the scale path."""
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    if use_lsh_prefilter:
-        cand = lsh_bucket_candidates(corpus, n_bits, dim, id_col, vec_col)
-        pairs = cand.join(a, "id_a").join(b, "id_b")
-    else:
+    if exact:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        cand = lsh_bucket_candidates(
+            corpus, n_bands, bits_per_band, dim, id_col, vec_col
+        )
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     return (
         pairs.withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
         .where(F.col("_sim") > threshold)
@@ -181,37 +192,78 @@ def near_dup_pairs(
     )
 
 
-def hyperplane_bits(vec: Column, n_bits: int = 8, dim: int = 16) -> Column:
-    """Random-hyperplane LSH sketch: bit j = sign(dot(v, h_j)) with
-    h_j[d] = (md5-derived uniform in [-0.5, 0.5]). Deterministic."""
+def hyperplane_components(band: int, bit: int, dim: int) -> list[float]:
+    """Deterministic md5-derived hyperplane h[(band,bit)] ∈ [-0.5, 0.5]^dim.
+
+    Module-level so the DuckDB oracle SQL can inline the identical constants
+    (both engines then dot in double precision — bit-identical buckets)."""
     import hashlib
 
+    return [
+        (int(hashlib.md5(f"hp{band}:{bit}#{d}".encode()).hexdigest()[:15], 16)
+         / float(2**60)) - 0.5
+        for d in range(dim)
+    ]
+
+
+def hyperplane_bits(vec: Column, n_bits: int = 8, dim: int = 64, band: int = 0) -> Column:
+    """Random-hyperplane LSH sketch for one band: bit j = sign(dot(v, h_j)).
+
+    ``dim`` MUST equal the embedding length: ``zip_with`` pads unequal arrays
+    with nulls, which would null the dot product (guarded via slice)."""
     acc = F.lit(0)
     for j in range(n_bits):
-        comps = [
-            (int(hashlib.md5(f"hp{j}#{d}".encode()).hexdigest()[:15], 16) / float(2**60))
-            - 0.5
-            for d in range(dim)
-        ]
-        plane = F.array(*[F.lit(c) for c in comps])
-        d = dot(vec, plane)
+        plane = F.array(*[F.lit(c) for c in hyperplane_components(band, j, dim)])
+        d = dot(F.slice(vec, 1, dim), plane)
         acc = acc + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc.cast("bigint")
 
 
+def band_sketches(
+    vec: Column, n_bands: int = 16, bits_per_band: int = 8, dim: int = 64
+) -> Column:
+    """array<struct<band:int, bucket:bigint>> — one sketch per band.
+
+    Banding is what makes hyperplane LSH usable for near-dup recall: a single
+    b-bit bucket has P = p^b of catching a pair (~0.2 at cosine 0.5); L
+    independent bands lift that to 1-(1-p^b)^L. Same construction as the
+    MinHash banding in dedup.py, same explode/self-join shape downstream."""
+    return F.array(*[
+        F.struct(
+            F.lit(band).alias("band"),
+            hyperplane_bits(vec, bits_per_band, dim, band=band).alias("bucket"),
+        )
+        for band in range(n_bands)
+    ])
+
+
 def lsh_bucket_candidates(
     corpus: DataFrame,
-    n_bits: int = 8,
-    dim: int = 16,
+    n_bands: int = 16,
+    bits_per_band: int = 8,
+    dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate embedding candidates: same hyperplane sketch bucket."""
+    """Near-duplicate embedding candidates: pairs sharing ≥1 band bucket.
+
+    explode(band sketches) → equi-join on (band, bucket) → distinct pairs.
+    The join is an equi-join Catalyst shuffles on the narrow (band, bucket)
+    key; candidate volume ∝ bucket collisions, never n²."""
     sk = corpus.select(
-        F.col(id_col).alias("id"), hyperplane_bits(F.col(vec_col), n_bits, dim).alias("bucket")
-    )
+        F.col(id_col).alias("id"),
+        F.explode(
+            band_sketches(F.col(vec_col), n_bands, bits_per_band, dim)
+        ).alias("_bb"),
+    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
     l, r = sk.alias("l"), sk.alias("r")
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
     )

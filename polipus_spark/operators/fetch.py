@@ -48,6 +48,8 @@ def _join_docs(
         # no corpus shuffle per wave. On an Iceberg deployment this becomes
         # a storage-partitioned join on bucket(doc_id).
         return d.join(F.broadcast(wave), wave[url_expr] == d["_d_url"], "right_outer")
+    # Big-wave fallback: plain left join, strategy left to AQE (sort-merge or
+    # shuffle-hash on the shuffled sides) — never a driver-sized broadcast.
     return wave.join(d, wave[url_expr] == d["_d_url"], "left")
 
 
@@ -56,12 +58,24 @@ def fetch_wave(
     docs: DataFrame,
     redirect_limit: int = 5,
     logical_now: int = 0,
+    wave_rows: int | None = None,
+    broadcast_max_rows: int = 250_000,
 ) -> DataFrame:
     """Input: popped frontier rows (incl. url). Output: one row per input with
     final_url, code, spans, redirect_to, aliases, fetched, error,
-    response_time, fetched_at."""
+    response_time, fetched_at.
+
+    ``wave_rows`` is the caller's known row count for the popped wave (the
+    crawler already counts it for metrics). The wave is broadcast only when
+    that count is known and at most ``broadcast_max_rows`` — politeness-
+    budgeted waves, the common case. Unknown or larger waves take the plain
+    shuffled left join so an unlimited-budget multi-GB wave can never OOM the
+    driver. Redirect hops follow the same decision: a hop set is a subset of
+    the wave, so if the wave was broadcastable the hops are too.
+    """
+    bcast = wave_rows is not None and wave_rows <= broadcast_max_rows
     cur = (
-        _join_docs(wave, docs, "url")
+        _join_docs(wave, docs, "url", broadcast_wave=bcast)
         .withColumn("final_url", F.col("url"))
         .withColumn("aliases", F.array().cast("array<string>"))
         .withColumn("_hops", F.lit(0))
@@ -86,7 +100,7 @@ def fetch_wave(
             .withColumn("_hops", F.col("_hops") + 1)
             .drop("_d_url", "_d_code", "_d_spans", "_d_redirect")
         )
-        followed = _join_docs(followed, docs, "final_url")
+        followed = _join_docs(followed, docs, "final_url", broadcast_wave=bcast)
         cur = done.unionByName(followed)
 
     fetched = F.col("_d_url").isNotNull()

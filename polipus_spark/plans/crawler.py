@@ -270,7 +270,11 @@ class PolipusCrawler:
         m["dedup_hits"] = dedup_hits
 
         # S4/J5 fetch + redirects
-        fetched = fetch_wave(valid, self.docs, o.redirect_limit, logical_now=now)
+        fetched = fetch_wave(
+            valid, self.docs, o.redirect_limit, logical_now=now,
+            wave_rows=m["scheduled"],          # |valid| <= |popped| = scheduled
+            broadcast_max_rows=o.broadcast_wave_max_rows,
+        )
         fetched = fetched.withColumn(
             "final_uuid", url_uuid(F.col("final_url"), o.include_query_string_in_uuid)
         )

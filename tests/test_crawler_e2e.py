@@ -188,6 +188,17 @@ def test_bloom_tracker_e2e(spark, work_dir):
     assert crawler.crawl_order() == sim.crawl_order
 
 
+def test_big_wave_shuffle_join_parity(spark, work_dir):
+    """Size-gated fetch join: broadcast_wave_max_rows=0 forces the shuffled
+    left-join fallback (the path an unlimited-budget multi-GB wave takes);
+    crawl order, pages, and metrics stay exactly equal to the oracle."""
+    docs = gen_corpus(n_hosts=4, max_docs_per_host=8, with_redirect_chain=True)
+    seeds = SEEDS + ["http://host0.example.com/moved", "http://host0.example.com/chain/0"]
+    opts = CrawlOptions(max_waves=20, broadcast_wave_max_rows=0)
+    sim, crawler = run_both(spark, work_dir, docs, opts, seeds)
+    assert_parity(sim, crawler)
+
+
 def test_error_retry_parity(spark, work_dir):
     """O6: error pages re-enqueued ≤ retry_limit times, unstored until the
     final attempt; full order/metrics parity with the oracle."""

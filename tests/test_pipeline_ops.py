@@ -157,9 +157,33 @@ def test_lsh_embedding_buckets_deterministic(spark):
     from polipus_spark.functions.similarity import lsh_bucket_candidates
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    a = lsh_bucket_candidates(emb, n_bits=8, dim=64).count()
-    b = lsh_bucket_candidates(emb, n_bits=8, dim=64).count()
+    a = lsh_bucket_candidates(emb, n_bands=8, bits_per_band=4, dim=64).count()
+    b = lsh_bucket_candidates(emb, n_bands=8, bits_per_band=4, dim=64).count()
     assert a == b > 0
+
+
+def test_near_dup_lsh_default_recall(spark):
+    """LSH-prefiltered near_dup_pairs (the default path): subset of exact
+    pairs with recall ≥ 0.6 at threshold 0.4 when banded for that range
+    (L=8, b=4 — banding math predicts ~0.75+). The DEFAULT banding
+    (L=16, b=8, tuned for threshold 0.9) must keep candidate volume under
+    10% of all-pairs on the sf0.01 embeddings — the point of the prefilter
+    (measured 7.1% vs 40% for the coarse banding)."""
+    from polipus_spark.functions.similarity import (
+        lsh_bucket_candidates, near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"])
+             for r in near_dup_pairs(emb, threshold=0.4, exact=True).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in near_dup_pairs(emb, threshold=0.4,
+                                   n_bands=8, bits_per_band=4).collect()}
+    assert lsh <= exact
+    assert len(exact) >= 50
+    assert len(lsh) / len(exact) >= 0.6
+    n = emb.count()
+    assert lsh_bucket_candidates(emb).count() < 0.10 * n * (n - 1) / 2
 
 
 # ------------------------------------------------------------ multimodal
