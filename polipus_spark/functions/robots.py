@@ -215,27 +215,23 @@ def filter_robots_allowed(
         "",
     )
     path = F.when(path.startswith("/"), path).otherwise(F.concat(F.lit("/"), path))
-    hits = (
-        candidates.join(
+    # Deny is a property of the URL alone, so collapse the rule-join
+    # multiplicity on the narrow url key and anti-join back — never a
+    # groupBy over the full candidate row (which would shuffle every
+    # column, including map-typed user_data, per wave). The rule join is
+    # broadcast (map-side); the only exchanges are single-column.
+    denied = (
+        candidates.select(F.col(url_col), F.col(host_col))
+        .join(
             F.broadcast(disallows),
-            candidates[host_col] == disallows["_r_host"],
-            "left",
+            F.col(host_col) == F.col("_r_host"),
+            "inner",  # hosts with no disallow rules never appear ⇒ allowed
         )
-        .withColumn(
-            "_denied",
-            F.when(
-                F.col("path_re").isNotNull(),
-                _re_search_udf(F.col("path_re"), path),
-            ).otherwise(F.lit(False)),
-        )
+        .where(_re_search_udf(F.col("path_re"), path))
+        .select(url_col)
+        .distinct()
     )
-    group_cols = [c for c in candidates.columns]
-    return (
-        hits.groupBy(*[F.col(c) for c in group_cols])
-        .agg(F.max("_denied").alias("_any_denied"))
-        .where(~F.col("_any_denied"))
-        .drop("_any_denied")
-    )
+    return candidates.join(denied, url_col, "left_anti")
 
 
 def crawl_delays_df(rules: DataFrame, user_agent: str) -> DataFrame:

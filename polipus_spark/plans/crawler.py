@@ -250,7 +250,6 @@ class PolipusCrawler:
         stored = self._pages_state()
         if stored is not None:
             stored = stored.select("uuid", "fetched_at").persist()
-        if stored is not None:
             st = stored.select(
                 F.col("uuid").alias("_st_uuid"), F.col("fetched_at").alias("_st_fat")
             )
@@ -262,23 +261,35 @@ class PolipusCrawler:
                     & ~self._expired_cond(F.col("_st_fat"), now)
                     & ~F.col("is_seed"),
                 )
+                .drop("_st_uuid", "_st_fat")
             )
-            dedup_hits = valid.where(F.col("_exists")).count()
-            valid = valid.where(~F.col("_exists")).drop("_st_uuid", "_st_fat", "_exists")
         else:
-            dedup_hits = 0
+            valid = valid.withColumn("_exists", F.lit(False))
+        # Metric action 1 of 2: |valid| and pre-fetch dedup hits in one agg
+        # over the persisted policy-filtered frame (also reused by the fetch,
+        # so the policy chain and storage join evaluate once per wave).
+        valid = valid.persist()
+        pre = valid.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("_exists").cast("long")).alias("dups"),
+        ).collect()[0]
+        dedup_hits = int(pre["dups"] or 0)
         m["dedup_hits"] = dedup_hits
+        n_valid = int(pre["n"]) - dedup_hits
+        valid_live = valid.where(~F.col("_exists")).drop("_exists")
 
         # S4/J5 fetch + redirects
         fetched = fetch_wave(
-            valid, self.docs, o.redirect_limit, logical_now=now,
-            wave_rows=m["scheduled"],          # |valid| <= |popped| = scheduled
+            valid_live, self.docs, o.redirect_limit, logical_now=now,
+            wave_rows=n_valid,
             broadcast_max_rows=o.broadcast_wave_max_rows,
         )
         fetched = fetched.withColumn(
             "final_uuid", url_uuid(F.col("final_url"), o.include_query_string_in_uuid)
         )
-        # redirect finals: re-check storage on the final URL (lib/polipus.rb:208-212)
+        # redirect finals: re-check storage on the final URL
+        # (lib/polipus.rb:208-212) — kept as a FLAG, counted in the single
+        # post-fetch agg below instead of its own job.
         if stored is not None:
             moved = F.col("final_url") != F.col("url")
             st2 = stored.select(
@@ -293,35 +304,27 @@ class PolipusCrawler:
                     & ~self._expired_cond(F.col("_st2_fat"), now)
                     & ~F.col("is_seed"),
                 )
+                .drop("_st2_uuid", "_st2_fat")
             )
-            redirect_dupes = fetched.where(F.col("_exists2")).count()
-            fetched = fetched.where(~F.col("_exists2")).drop(
-                "_st2_uuid", "_st2_fat", "_exists2"
-            )
-            m["dedup_hits"] += redirect_dupes
+        else:
+            fetched = fetched.withColumn("_exists2", F.lit(False))
 
         # Same-wave duplicate finals: the sequential reference stores the
         # first and skips later ones via page_exists (storage is consulted
         # live); our pre-wave snapshot join can't see them, so replicate with
         # an in-wave window dedup on final_uuid (seeds are never skipped,
-        # lib/polipus.rb:413-415).
+        # lib/polipus.rb:413-415). Partitioning by (final_uuid, _exists2)
+        # ranks only among rows that survive the redirect re-check — the same
+        # ranks a filter-then-rank would produce.
         from pyspark.sql import Window as W
 
-        w_dup = W.partitionBy("final_uuid").orderBy(*[F.col(c) for c in ORDER_COLS])
+        w_dup = W.partitionBy("final_uuid", "_exists2").orderBy(
+            *[F.col(c) for c in ORDER_COLS]
+        )
         fetched = fetched.withColumn("_rn", F.row_number().over(w_dup))
-        fetched = fetched.persist()
-        samewave = fetched.where((F.col("_rn") > 1) & ~F.col("is_seed")).count()
-        m["dedup_hits"] += samewave
-        fetched = fetched.where((F.col("_rn") == 1) | F.col("is_seed")).drop("_rn")
 
-        m["policy_dropped"] = m["scheduled"] - m["dedup_hits"] - fetched.count()
-
-        # error hooks (lib/polipus.rb:220-224); error pages still get stored
-        errs = fetched.where(F.col("error").isNotNull())
-        m["errors"] = errs.count()
-        if m["errors"]:
-            for hook in self.on_page_error:
-                hook(errs)
+        live = ~F.col("_exists2") & ((F.col("_rn") == 1) | F.col("is_seed"))
+        samewave_dup = ~F.col("_exists2") & (F.col("_rn") > 1) & ~F.col("is_seed")
 
         # O6 retry: error pages with attempts left are NOT stored and get
         # re-enqueued unconditionally (http.rb:217 retries /
@@ -334,9 +337,40 @@ class PolipusCrawler:
             & F.lit(o.retry_limit > 0)
             & (retry_cnt < F.lit(o.retry_limit))
         )
+        is_expandable = live & F.col("spans").isNotNull()
+        if o.depth_limit is not None:
+            is_expandable = is_expandable & (F.col("depth") < F.lit(o.depth_limit))
+
+        # Metric action 2 of 2: every post-fetch counter in ONE agg over the
+        # persisted fetch result (was ~6 separate jobs).
+        fetched = fetched.persist()
+        cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+        post = fetched.agg(
+            cnt(F.col("_exists2")).alias("redirect_dupes"),
+            cnt(samewave_dup).alias("samewave"),
+            cnt(live).alias("n_live"),
+            cnt(live & F.col("error").isNotNull()).alias("errors"),
+            cnt(live & will_retry).alias("retried"),
+            cnt(live & ~will_retry).alias("storable"),
+            cnt(is_expandable).alias("expandable"),
+        ).collect()[0]
+        as_i = lambda v: int(v or 0)  # noqa: E731
+        m["dedup_hits"] += as_i(post["redirect_dupes"]) + as_i(post["samewave"])
+        m["fetched"] = as_i(post["n_live"])  # processed pages (incr_pages analog)
+        m["errors"] = as_i(post["errors"])
+        m["retried"] = as_i(post["retried"]) if o.retry_limit > 0 else 0
+        m["policy_dropped"] = m["scheduled"] - m["dedup_hits"] - m["fetched"]
+
+        live_df = fetched.where(live).drop("_rn", "_exists2")
+
+        # error hooks (lib/polipus.rb:220-224); error pages still get stored
+        if m["errors"]:
+            errs = live_df.where(F.col("error").isNotNull())
+            for hook in self.on_page_error:
+                hook(errs)
 
         # on_before_save may mutate (e.g. set storable=false, F11)
-        to_save = fetched.withColumn("storable", ~will_retry)
+        to_save = live_df.withColumn("storable", ~will_retry)
         for hook in self.on_before_save:
             to_save = hook(to_save)
         if o.storage_enabled is False:  # S9 devnull storage
@@ -355,16 +389,20 @@ class PolipusCrawler:
             )
             .drop(*[c for c in o.storage_except_cols])  # X11 (mongo_store.rb:27)
         )
-        m["fetched"] = fetched.count()  # processed pages (incr_pages analog)
-        m["stored"] = page_rows.count()
+        if o.storage_enabled is False:
+            m["stored"] = 0
+        elif self.on_before_save:
+            m["stored"] = page_rows.count()  # hooks may mutate storable
+        else:
+            m["stored"] = as_i(post["storable"])
         if m["stored"]:
             self.pages.append(page_rows, op="pages_upsert", wave=wave,
                               metrics={"stored": m["stored"]})
         for hook in self.on_page_downloaded:
-            hook(fetched)
+            hook(live_df)
 
         # F5 depth gate + X2 link expansion (lib/polipus.rb:239-246)
-        expandable = fetched.where(F.col("spans").isNotNull())
+        expandable = live_df.where(F.col("spans").isNotNull())
         if o.depth_limit is not None:
             expandable = expandable.where(F.col("depth") < F.lit(o.depth_limit))
 
@@ -372,8 +410,8 @@ class PolipusCrawler:
         # assigned by (parent_seq, link_pos=-1) so a retry interleaves exactly
         # where the sequential reference would enqueue it.
         to_push = []
-        if o.retry_limit > 0:
-            retries = fetched.where(will_retry).select(
+        if m["retried"]:
+            retries = live_df.where(will_retry).select(
                 F.col("url"),
                 F.col("referer"),
                 F.col("depth"),
@@ -386,15 +424,11 @@ class PolipusCrawler:
                 F.col("seq").alias("parent_seq"),
                 F.lit(-1).alias("link_pos"),
             )
-            m["retried"] = retries.count()
-            if m["retried"]:
-                to_push.append(retries)
-        else:
-            m["retried"] = 0
+            to_push.append(retries)
 
         enqueued = 0
         new_next_seq = next_seq
-        if not expandable.isEmpty():
+        if as_i(post["expandable"]) > 0:
             parents = expandable.select(
                 F.col("final_url").alias("p_url"),
                 F.col("depth").alias("p_depth"),
@@ -481,6 +515,7 @@ class PolipusCrawler:
         m["enqueued"] = enqueued
         m["next_seq"] = new_next_seq
         fetched.unpersist()
+        valid.unpersist()
         popped.unpersist()
         if stored is not None:
             stored.unpersist()
