@@ -41,6 +41,11 @@ class CrawlOptions:
     tracker_mode: str = "exact"  # 'exact' | 'bloom' | 'cuckoo' (url_tracker.rb:4-19)
     bloom_capacity: int = 1_000_000   # url_tracker.rb:6
     bloom_error_rate: float = 0.01    # url_tracker.rb:7
+    compact_every_waves: int | None = 8  # every K committed waves, rewrite the
+                                         # grow-forever logs (pages MoR, tracker,
+                                         # frontier∖scheduled) as their resolved
+                                         # views so per-wave MoR cost stays flat;
+                                         # None disables
     storage_enabled: bool = True      # devnull storage when False (storage/dev_null.rb)
     storage_except_cols: list[str] = field(default_factory=list)  # X11 (mongo_store.rb:27)
     retry_limit: int = 0              # O6: re-enqueue error pages ≤ N times

@@ -120,6 +120,23 @@ class Frontier:
         except ValueError:
             return 0
 
+    # --------------------------------------------------------------- compact
+    def compact(self, wave: int | None = None) -> None:
+        """Rewrite the frontier as pending-only rows and empty the scheduled
+        log — without this, every pop anti-joins the full push history.
+
+        Crash-safe ordering: the frontier is rewritten FIRST. If we die
+        before the scheduled overwrite commits, scheduled still lists seqs
+        that no longer exist in the frontier — the anti-join then drops
+        nothing extra, so a resume sees exactly the same pending set."""
+        if not self.table.exists():
+            return
+        pend = self.pending().select(*FRONTIER_COLS)
+        self.table.overwrite(pend, op="compact", wave=wave)
+        if self.scheduled.exists():
+            empty = self.scheduled.read().select("seq").limit(0)
+            self.scheduled.overwrite(empty, op="compact", wave=wave)
+
     # ------------------------------------------------------------------- pop
     def pop(
         self,

@@ -110,6 +110,19 @@ class ExactTracker:
         cur = self._current()
         return set() if cur is None else {r["key"] for r in cur.collect()}
 
+    def compact(self, wave: int | None = None) -> None:
+        """Collapse the add/remove log to one snapshot of live keys.
+        Tombstoned (removed) keys drop out entirely — equivalent to never
+        seen, which is exactly ``remove``'s re-crawl semantics."""
+        if not self.table.exists():
+            return
+        live = (
+            self.table.read_latest_by(["key"])
+            .where(F.col("op") == "add")
+            .select("key", "op")
+        )
+        self.table.overwrite(live, op="compact", wave=wave)
+
     def clear(self) -> None:
         self.table.truncate()
 
@@ -232,6 +245,10 @@ class BloomTracker:
     def is_visited(self, spark: SparkSession, url: str) -> bool:
         df = spark.createDataFrame([(url,)], "key string")
         return self.probe(df, "key").collect()[0]["_seen"]
+
+    def compact(self, wave: int | None = None) -> None:
+        """One snapshot with the newest bitmap per bucket (≤ n_buckets rows)."""
+        self.table.compact(["bucket"], wave=wave)
 
     def clear(self) -> None:
         self.table.truncate()
@@ -402,6 +419,10 @@ class CuckooTracker:
     def is_visited(self, spark: SparkSession, url: str) -> bool:
         df = spark.createDataFrame([(url,)], "key string")
         return self.probe(df, "key").collect()[0]["_seen"]
+
+    def compact(self, wave: int | None = None) -> None:
+        """One snapshot with the newest bitmap per bucket (≤ n_buckets rows)."""
+        self.table.compact(["bucket"], wave=wave)
 
     def clear(self) -> None:
         self.table.truncate()

@@ -79,6 +79,11 @@ class PolipusCrawler:
         self.frontier = Frontier(self.catalog, opts)
         self.tracker = self._make_tracker()
         self.pages = self.catalog.table("pages")
+        # Append-only crawl journal (narrow: one row per stored fetch) —
+        # feeds crawl_order()/host_stats(). Kept separate from the pages
+        # STATE table so pages can be compacted to its MoR view without
+        # losing re-download history.
+        self.fetch_log = self.catalog.table("fetch_log")
         self.metrics = self.catalog.table("metrics")
         self.clock_fn = clock_fn or (lambda wave: wave)
         # user hooks (reference: lib/polipus.rb:283-319)
@@ -112,6 +117,7 @@ class PolipusCrawler:
         commit point). Iceberg analog: rollback_to_snapshot on each table."""
         for t in (
             self.frontier.table, self.frontier.scheduled, self.pages,
+            self.fetch_log,
             self.tracker.table if hasattr(self.tracker, "table") else None,
         ):
             if t is None or not t.exists():
@@ -398,6 +404,15 @@ class PolipusCrawler:
         if m["stored"]:
             self.pages.append(page_rows, op="pages_upsert", wave=wave,
                               metrics={"stored": m["stored"]})
+            self.fetch_log.append(
+                to_save.where(F.col("storable")).select(
+                    F.lit(wave).alias("wave"), "priority", "depth",
+                    "discovery_ts", "seq",
+                    F.col("url").alias("requested_url"),
+                    F.col("final_url").alias("url"),
+                ),
+                op="fetch_log", wave=wave,
+            )
         for hook in self.on_page_downloaded:
             hook(live_df)
 
@@ -570,9 +585,29 @@ class PolipusCrawler:
                 op="wave_metrics",
                 wave=wave,
             )
+            # The metrics row above is the wave's commit point, so state
+            # compacted NOW survives any rollback — resume keeps it.
+            k = self.opts.compact_every_waves
+            if k and (wave + 1) % k == 0:
+                self._compact(wave)
             wave += 1
         for hook in self.on_crawl_end:
             hook(self)
+
+    def _compact(self, wave: int) -> None:
+        """Keep MoR resolution flat on long crawls: every K committed waves,
+        rewrite each grow-forever log as its resolved view (pages → latest
+        per uuid, tracker → live keys / newest bitmaps, frontier → pending
+        rows only) and vacuum orphaned snapshot dirs. fetch_log and metrics
+        are append-only journals and are never compacted."""
+        self.pages.compact(["uuid"], order_extra=["wave", "seq"], wave=wave)
+        if hasattr(self.tracker, "compact"):
+            self.tracker.compact(wave=wave)
+        self.frontier.compact(wave=wave)
+        for t in (self.pages, self.frontier.table, self.frontier.scheduled,
+                  getattr(self.tracker, "table", None)):
+            if t is not None:
+                t.vacuum()
 
     # -------------------------------------------------------------- results
     def pages_df(self) -> DataFrame | None:
@@ -581,10 +616,13 @@ class PolipusCrawler:
     def crawl_order(self) -> list[str]:
         """Oracle artifact: fetched URLs in (wave, priority, depth,
         discovery_ts, seq) order — requested URL, as the reference logs the
-        popped message's url."""
-        st = self.pages.read()
+        popped message's url. Reads the append-only fetch_log journal
+        (compaction-proof)."""
+        if not self.fetch_log.exists():
+            return []
         rows = (
-            st.orderBy("wave", *ORDER_COLS)
+            self.fetch_log.read()
+            .orderBy("wave", *ORDER_COLS)
             .select("requested_url")
             .collect()
         )
@@ -610,7 +648,7 @@ class PolipusCrawler:
         from polipus_spark.functions.urls import url_host
 
         return (
-            self.pages.read()
+            self.fetch_log.read()
             .groupBy("wave", url_host(F.col("url")).alias("host"))
             .agg(F.count("*").alias("fetches"))
         )

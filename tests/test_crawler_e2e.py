@@ -199,6 +199,43 @@ def test_big_wave_shuffle_join_parity(spark, work_dir):
     assert_parity(sim, crawler)
 
 
+def test_compaction_long_crawl_parity_and_flat_logs(spark, work_dir):
+    """Log compaction: a many-wave (politeness budget 1) crawl with
+    compact_every_waves=3 keeps every snapshot log bounded — the union the
+    MoR window resolves stays flat instead of growing one append per wave —
+    while crawl order, pages, metrics, and seen-set parity stay exact."""
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=8, with_redirect_chain=False)
+    opts = CrawlOptions(depth_limit=2, per_host_budget=1, max_waves=40,
+                        compact_every_waves=3)
+    sim, crawler = run_both(spark, work_dir, docs, opts, SEEDS)
+    n_waves = len([m for m in sim.metrics if m["scheduled"] > 0])
+    assert n_waves > 8  # long enough that uncompacted logs would show
+    assert_parity(sim, crawler)
+    # each compactable log's snapshot count is bounded by the compaction
+    # period, not the wave count
+    for t in (crawler.pages, crawler.frontier.table, crawler.frontier.scheduled,
+              crawler.tracker.table):
+        assert len(t.lineage()) <= opts.compact_every_waves + 1, t.name
+    # journals still carry full history
+    assert len(crawler.fetch_log.lineage()) > opts.compact_every_waves
+
+
+def test_resume_after_kill_with_compaction(spark, work_dir):
+    """Kill + resume across a compaction boundary: the compacted snapshot
+    (written at a committed wave) must survive rollback and resume exactly."""
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6, with_redirect_chain=False)
+    opts_full = CrawlOptions(depth_limit=2, max_waves=20, compact_every_waves=2)
+    sim = CrawlSimulator(docs, opts_full)
+    sim.takeover(SEEDS)
+
+    opts_killed = CrawlOptions(depth_limit=2, max_waves=2, compact_every_waves=2)
+    c1 = PolipusCrawler(spark, corpus_df(spark, docs), opts_killed, work_dir)
+    c1.takeover(SEEDS)  # wave 1 commit triggers a compaction, then "crash"
+    c2 = PolipusCrawler(spark, corpus_df(spark, docs), opts_full, work_dir)
+    c2.takeover(resume=True)
+    assert_parity(sim, c2)
+
+
 def test_error_retry_parity(spark, work_dir):
     """O6: error pages re-enqueued ≤ retry_limit times, unstored until the
     final attempt; full order/metrics parity with the oracle."""
