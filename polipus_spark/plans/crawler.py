@@ -95,6 +95,27 @@ class PolipusCrawler:
         self.focus_crawl_fn: Callable[[DataFrame], DataFrame] | None = None
         self._stop_requested = False
         self._robots_rules: DataFrame | None = None
+        # plugin protocol (plugin.rb:5-12; executed at lib/polipus.rb:156)
+        self._execute_plugin("on_initialize")
+
+    def _execute_plugin(self, method: str, payload=None):
+        """lib/polipus.rb:479-487 analog: run ``<method>`` on every
+        registered plugin; a returned callable runs with the crawler
+        (Proc instance_eval analog); a returned DataFrame replaces the
+        wave payload (dataflow-rewriting hooks)."""
+        from polipus_spark import plugin as _plugin
+
+        out = payload
+        for _name, p in _plugin.registry.plugins().items():
+            fn = getattr(p, method, None)
+            if fn is None:
+                continue
+            ret = fn(self) if payload is None else fn(self, out)
+            if callable(ret) and not isinstance(ret, DataFrame):
+                ret = ret(self)
+            if payload is not None and isinstance(ret, DataFrame):
+                out = ret
+        return out
 
     def _make_tracker(self):
         o = self.opts
@@ -246,6 +267,9 @@ class PolipusCrawler:
                      policy_dropped=0, next_seq=next_seq)
             return m
 
+        # plugin hook: message batch received (lib/polipus.rb:182)
+        popped = self._execute_plugin("on_message_received", popped)
+
         # F7 dequeue-time revalidation (tracker-less, lib/polipus.rb:186-190)
         valid = self._policy_filter(popped, "url")
 
@@ -283,6 +307,8 @@ class PolipusCrawler:
         m["dedup_hits"] = dedup_hits
         n_valid = int(pre["n"]) - dedup_hits
         valid_live = valid.where(~F.col("_exists")).drop("_exists")
+        # plugin hook: about to fetch (lib/polipus.rb:201)
+        valid_live = self._execute_plugin("on_before_download", valid_live)
 
         # S4/J5 fetch + redirects
         fetched = fetch_wave(
@@ -328,6 +354,8 @@ class PolipusCrawler:
             *[F.col(c) for c in ORDER_COLS]
         )
         fetched = fetched.withColumn("_rn", F.row_number().over(w_dup))
+        # plugin hook: downloaded + redirect-resolved (lib/polipus.rb:218)
+        fetched = self._execute_plugin("on_after_download", fetched)
 
         live = ~F.col("_exists2") & ((F.col("_rn") == 1) | F.col("is_seed"))
         samewave_dup = ~F.col("_exists2") & (F.col("_rn") > 1) & ~F.col("is_seed")
@@ -529,6 +557,8 @@ class PolipusCrawler:
 
         m["enqueued"] = enqueued
         m["next_seq"] = new_next_seq
+        # plugin hook: wave fully processed (lib/polipus.rb:250)
+        self._execute_plugin("on_message_processed", m)
         fetched.unpersist()
         valid.unpersist()
         popped.unpersist()
@@ -550,6 +580,7 @@ class PolipusCrawler:
 
         for hook in self.on_crawl_start:
             hook(self)
+        self._execute_plugin("on_crawl_start")  # lib/polipus.rb:173
         if not resume:
             if seeds:
                 n = self.seed(seeds, wave=wave, next_seq=next_seq)
@@ -557,8 +588,23 @@ class PolipusCrawler:
             elif last is None:
                 raise ValueError("first session needs seeds")
 
+        from polipus_spark.signal_handler import handle_signals
+
         max_w = self.opts.max_waves
         start_wave = wave
+        self._stop_requested = False
+        with handle_signals(self, self.opts.enable_signal_handler):
+            self._takeover_loop(wave, next_seq, start_wave, max_w)
+        for hook in self.on_crawl_end:
+            hook(self)
+        self._execute_plugin("on_crawl_end")  # lib/polipus.rb:264
+
+    def _takeover_loop(self, wave: int, next_seq: int, start_wave: int,
+                       max_w: int | None) -> None:
+        """The wave loop. A signal-triggered ``stop()`` is honored at the
+        wave boundary: the in-flight wave finishes and commits its metrics
+        row, so the crawl is exactly resumable (signal_handler.rb's
+        "finish the message, keep state" contract)."""
         while not self._stop_requested:
             if max_w is not None and wave - start_wave >= max_w:
                 break
@@ -591,8 +637,6 @@ class PolipusCrawler:
             if k and (wave + 1) % k == 0:
                 self._compact(wave)
             wave += 1
-        for hook in self.on_crawl_end:
-            hook(self)
 
     def _compact(self, wave: int) -> None:
         """Keep MoR resolution flat on long crawls: every K committed waves,

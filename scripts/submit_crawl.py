@@ -32,6 +32,9 @@ def main() -> None:
     p.add_argument("--per-host-budget", type=int, default=None)
     p.add_argument("--salt-factor", type=int, default=1)
     p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--no-signal-handler", action="store_true",
+                   help="disable the default SIGINT/SIGTERM graceful stop "
+                        "(finish current wave, commit, exit resumable)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +52,7 @@ def main() -> None:
         per_host_budget=args.per_host_budget,
         salt_factor=args.salt_factor,
         n_buckets=args.n_buckets,
+        enable_signal_handler=not args.no_signal_handler,
     )
     crawler = PolipusCrawler(spark, docs, opts, args.work_dir)
     crawler.takeover(seeds=args.seeds or None, resume=args.resume)
