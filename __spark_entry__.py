@@ -538,7 +538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "events_sessionize": q_events_sessionize,
         "tpch_q1_style": q_tpch_q1_style,
-        # rows-only (no SQL oracle): the full crawl loop is stateful/iterative
+        # oracle = the sequential reference-semantics simulator's page set,
+        # materialized as a VALUES list (deterministic corpus + options)
         "crawl_e2e_pages": q_crawl_e2e_pages,
     }
     return q
@@ -616,6 +617,47 @@ def _minhash_sql_parts(n_perm: int = 16, shingle_k: int = 3) -> str:
             f"list_min(list_transform(__base, h -> (h * {a} + {b}) % {MERSENNE31}))"
         )
     return ws, base, mins
+
+
+def _crawl_e2e_oracle_sql() -> str:
+    """Independent oracle for the full crawl session: run the pure-Python
+    reference-semantics simulator (polipus_spark/simulator.py — sequential
+    dict/list dataflow, no Spark) over the SAME deterministic corpus and
+    options as q_crawl_e2e_pages, and emit its final page set as a VALUES
+    list. The distributed wave-loop crawler must reproduce it exactly."""
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.simulator import CrawlSimulator
+    from polipus_spark.sources.corpus import gen_corpus
+
+    docs = gen_corpus(n_hosts=4, max_docs_per_host=8)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=8)
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(["http://host0.example.com/", "http://host1.example.com/"])
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    rows = ",\n            ".join(
+        f"({lit(p.uuid)}, {lit(p.url)}, {lit(p.referer)}, {lit(p.depth)},"
+        f" {lit(p.code)}, {lit(p.fetched)}, {lit(p.error)}, {lit(p.wave)})"
+        for p in sim.pages.values()
+    )
+    return f"""
+          SELECT CAST(uuid AS VARCHAR) AS uuid, CAST(url AS VARCHAR) AS url,
+                 CAST(referer AS VARCHAR) AS referer,
+                 CAST(depth AS INTEGER) AS depth, CAST(code AS INTEGER) AS code,
+                 CAST(fetched AS BOOLEAN) AS fetched,
+                 CAST(error AS VARCHAR) AS error, CAST(wave AS INTEGER) AS wave
+          FROM (VALUES
+            {rows}
+          ) AS t(uuid, url, referer, depth, code, fetched, error, wave)
+        """
 
 
 def _hyperplane_band_sql(n_bands: int = 8, bits_per_band: int = 4,
@@ -989,4 +1031,5 @@ def oracle_sql() -> dict[str, str]:
           WHERE l_shipdate <= DATE '1998-09-02'
           GROUP BY l_returnflag, l_linestatus
         """,
+        "crawl_e2e_pages": _crawl_e2e_oracle_sql(),
     }

@@ -44,19 +44,21 @@ CORES_HI = int(os.environ.get("BENCH_CORES_HI", "4"))
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
 
 
-def prepare_fixture(n_urls: int, spark: SparkSession | None = None) -> tuple[str, str]:
-    """Materialize the synthetic frontier + seen-set to parquet ONCE so both
-    parallelism levels run the identical job on the identical input (the
-    north-rule two-cluster-size protocol). Cached per n_urls."""
+def prepare_fixture(n_urls: int, spark: SparkSession | None = None) -> str:
+    """Materialize the synthetic frontier + seen-set (+ Bloom bitmaps of the
+    seen set, + per-host politeness budgets) to parquet ONCE so every
+    parallelism level runs the identical job on the identical input (the
+    north-rule two-cluster-size protocol). Cached per n_urls; returns the
+    fixture base dir."""
     import tempfile
 
-    base = os.path.join(tempfile.gettempdir(), f"polipus_bench_{n_urls}")
+    base = os.path.join(tempfile.gettempdir(), f"polipus_bench_v2_{n_urls}")
     fr_dir, seen_dir = os.path.join(base, "frontier"), os.path.join(base, "seen")
     if os.path.exists(os.path.join(base, "_DONE")):
-        return fr_dir, seen_dir
+        return base
     if spark is None:
         raise RuntimeError("fixture missing — prepare it in the parent session first")
-    from polipus_spark.functions.urls import host_salt
+    from polipus_spark.functions.urls import host_salt, url_host
     from polipus_spark.sources.corpus import synthetic_frontier
 
     fr = synthetic_frontier(spark, n_urls, n_hosts=2000, n_partitions=64)
@@ -66,28 +68,59 @@ def prepare_fixture(n_urls: int, spark: SparkSession | None = None) -> tuple[str
     spark.read.parquet(fr_dir).where(F.col("seq") % 2 == 0).select(
         F.col("url").alias("seen_url")
     ).write.mode("overwrite").parquet(seen_dir)
+    # Bloom bitmaps over the same seen set (J1 variant input)
+    _bloom_tracker(spark, base, n_urls).mark_seen(
+        spark.read.parquet(seen_dir), "seen_url"
+    )
+    # per-host crawl budgets (A6 variant input): Zipf-ish 12..600 fetches/wave
+    (
+        spark.read.parquet(fr_dir)
+        .select(url_host(F.col("url")).alias("host")).distinct()
+        .withColumn(
+            "budget",
+            (F.lit(12) + F.pmod(F.conv(F.substring(F.md5("host"), 1, 7), 16, 10)
+                                .cast("bigint"), F.lit(589))).cast("long"),
+        )
+        .write.mode("overwrite").parquet(os.path.join(base, "budgets"))
+    )
     with open(os.path.join(base, "_DONE"), "w") as f:
         f.write("ok")
-    return fr_dir, seen_dir
+    return base
+
+
+def _bloom_tracker(spark: SparkSession, base: str, n_urls: int):
+    from polipus_spark.catalog import SnapshotCatalog
+    from polipus_spark.operators.tracker import BloomTracker
+
+    cat = SnapshotCatalog(spark, os.path.join(base, "bloomcat"))
+    return BloomTracker(cat, capacity=max(1024, n_urls), error_rate=0.01,
+                        n_buckets=64)
 
 
 def frontier_schedule_dedup(
-    spark: SparkSession, fr_dir: str, seen_dir: str, tag: int = 0
+    spark: SparkSession, base: str, tag: int = 0, variant: str = "exact"
 ) -> tuple[int, float]:
     """One full frontier scheduling pass over the parquet fixture — the
     crawl engine's per-wave hot path:
 
       S3 push enrichment on EVERY url (tracker key strip, md5 uuid, host
       extraction, salted partition key, bucket, Bloom hash seeds)
-      → O1/A6 salted window-rank politeness pop (budget 200/salt)
-      → J4 exact anti-join dedup vs the seen set.
+      → O1/A6 salted window-rank politeness pop
+      → dedup vs the seen set.
+
+    Variants cover each production configuration of that path:
+      * ``exact``    — fixed 200/salt budget, J4 exact anti-join dedup;
+      * ``bloom``    — same pop, J1 Bloom-bitmap probe dedup (the
+        cogroup/applyInPandas numpy path);
+      * ``budgeted`` — A6 per-host budget frame (broadcast join, per-salt
+        share) instead of the fixed cap, then exact anti-join.
 
     ``tag`` forces a fresh lineage so repeated reps cannot reuse shuffle
     stages. Returns (n_scheduled, elapsed_sec)."""
     from polipus_spark.functions.urls import bucket_of, host_salt, url_host
 
-    fr = spark.read.parquet(fr_dir).withColumn("_tag", F.lit(tag))
-    seen = spark.read.parquet(seen_dir)
+    fr = spark.read.parquet(os.path.join(base, "frontier")).withColumn("_tag", F.lit(tag))
+    seen = spark.read.parquet(os.path.join(base, "seen"))
     md5 = F.md5(F.col("url"))
     enriched = (
         fr.withColumn("tracker_key", F.regexp_replace("url", r"\?.*$", ""))
@@ -99,10 +132,26 @@ def frontier_schedule_dedup(
         .withColumn("_h2", F.conv(F.substring(md5, 16, 15), 16, 10).cast("bigint"))
     )
     w = Window.partitionBy("hs").orderBy("priority", "depth", "discovery_ts", "seq")
-    popped = enriched.withColumn("_rank", F.row_number().over(w)).where(F.col("_rank") <= 200)
-    q = popped.join(seen, popped["url"] == seen["seen_url"], "left_anti").select(
-        F.count("*").alias("n")
-    )
+    ranked = enriched.withColumn("_rank", F.row_number().over(w))
+    if variant == "budgeted":
+        budgets = spark.read.parquet(os.path.join(base, "budgets"))
+        popped = (
+            ranked.join(F.broadcast(budgets), ranked["host2"] == budgets["host"], "left")
+            .where(F.col("_rank") <= F.greatest(
+                F.lit(1), F.floor(F.coalesce(F.col("budget"), F.lit(1600)) / F.lit(8))))
+        )
+    else:
+        popped = ranked.where(F.col("_rank") <= 200)
+    if variant == "bloom":
+        n_urls = int(base.rstrip("/").rsplit("_", 1)[-1])
+        bt = _bloom_tracker(spark, base, n_urls)
+        q = bt.probe(popped, "url").where(~F.col("_seen")).select(
+            F.count("*").alias("n")
+        )
+    else:
+        q = popped.join(seen, popped["url"] == seen["seen_url"], "left_anti").select(
+            F.count("*").alias("n")
+        )
     t0 = time.time()
     n = q.collect()[0]["n"]
     return n, time.time() - t0
@@ -134,27 +183,29 @@ def build(cores: int) -> SparkSession:
                          shuffle_partitions=cores * 2)
 
 
-def _frontier_run_inprocess(cores: int, n_urls: int, reps: int = 4) -> tuple[int, float]:
+def _frontier_run_inprocess(cores: int, n_urls: int, reps: int = 4,
+                            variant: str = "exact") -> tuple[int, float]:
     """One warm-up (JIT/codegen), then the MIN of ``reps`` timed passes over
     the same parquet fixture. Assumes a FRESH JVM.
 
     Min, not median: this sandbox shows bimodal interference (hypervisor
     noise) that can double any single pass; the minimum is the reproducible
     capability number and is what a quiet cluster would sustain."""
-    fr_dir, seen_dir = prepare_fixture(n_urls)
+    base = prepare_fixture(n_urls)
     spark = build(cores)
     try:
-        frontier_schedule_dedup(spark, fr_dir, seen_dir, tag=-1)  # warm-up
+        frontier_schedule_dedup(spark, base, tag=-1, variant=variant)  # warm-up
         times, n = [], 0
         for i in range(reps):
-            n, t = frontier_schedule_dedup(spark, fr_dir, seen_dir, tag=i)
+            n, t = frontier_schedule_dedup(spark, base, tag=i, variant=variant)
             times.append(t)
         return n, min(times)
     finally:
         spark.stop()
 
 
-def timed_frontier_run(cores: int, n_urls: int, reps: int = 3) -> tuple[int, float]:
+def timed_frontier_run(cores: int, n_urls: int, reps: int = 3,
+                       variant: str = "exact") -> tuple[int, float]:
     """Run one parallelism level in its OWN subprocess (fresh JVM).
 
     SparkSession.stop() does not tear down the py4j JVM; a second session in
@@ -166,7 +217,7 @@ def timed_frontier_run(cores: int, n_urls: int, reps: int = 3) -> tuple[int, flo
 
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
-         "--frontier-run", str(cores), str(n_urls), str(reps)],
+         "--frontier-run", str(cores), str(n_urls), str(reps), variant],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():
@@ -206,13 +257,36 @@ def main() -> None:
             "full_cores": CPUS, "throughput_full": round(thr_hi, 1),
         }
 
+    # hot-path variants: Bloom-probe dedup (the cogroup/applyInPandas numpy
+    # path) and per-host-budget politeness pop — each with its own 1→4
+    # scaling pair on the identical fixture
+    if os.environ.get("BENCH_SKIP_VARIANTS") != "1":
+        result["variants"] = {}
+        for variant in ("bloom", "budgeted"):
+            _, t_v = timed_frontier_run(CPUS, N_FRONTIER, reps=3, variant=variant)
+            entry = {"throughput_full": round(N_FRONTIER / t_v, 1),
+                     "elapsed_sec": round(t_v, 3)}
+            if os.environ.get("BENCH_SKIP_SCALING") != "1":
+                _, tv_hi = timed_frontier_run(CORES_HI, N_FRONTIER, reps=3,
+                                              variant=variant)
+                _, tv_lo = timed_frontier_run(CORES_LO, N_FRONTIER, reps=2,
+                                              variant=variant)
+                thv_hi, thv_lo = N_FRONTIER / tv_hi, N_FRONTIER / tv_lo
+                entry["scaling"] = {
+                    "cores_lo": CORES_LO, "throughput_lo": round(thv_lo, 1),
+                    "cores_hi": CORES_HI, "throughput_hi": round(thv_hi, 1),
+                    "efficiency": round((thv_hi / thv_lo) / (CORES_HI / CORES_LO), 3),
+                }
+            result["variants"][variant] = entry
+
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--frontier-run":
         cores_, n_, reps_ = int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
-        n_out, t_out = _frontier_run_inprocess(cores_, n_, reps_)
+        variant_ = sys.argv[5] if len(sys.argv) > 5 else "exact"
+        n_out, t_out = _frontier_run_inprocess(cores_, n_, reps_, variant_)
         print(f"FRONTIER_RESULT {n_out} {t_out}")
     else:
         main()

@@ -45,9 +45,22 @@ def page_to_json(df: DataFrame) -> DataFrame:
 
 
 def page_from_json(df: DataFrame, col: str = "message") -> DataFrame:
-    """Parse JSON messages back to page rows; absent fields re-default to
-    null (Page.from_hash re-defaults, page.rb:245-264)."""
-    return df.select(F.from_json(F.col(col), PAGE_JSON_SCHEMA).alias("p")).select("p.*")
+    """Parse JSON messages back to page rows with Page.from_hash's
+    re-defaulting (page.rb:245-264): absent numerics → 0 (Ruby nil.to_i),
+    fetched → false, aliases → [], empty redirect_to → null; referer /
+    error / user_data stay null."""
+    p = df.select(F.from_json(F.col(col), PAGE_JSON_SCHEMA).alias("p")).select("p.*")
+    return (
+        p.withColumn("depth", F.coalesce(F.col("depth"), F.lit(0)))
+        .withColumn("code", F.coalesce(F.col("code"), F.lit(0)))
+        .withColumn("response_time", F.coalesce(F.col("response_time"), F.lit(0)))
+        .withColumn("fetched", F.coalesce(F.col("fetched"), F.lit(False)))
+        .withColumn(
+            "aliases",
+            F.coalesce(F.col("aliases"), F.array().cast("array<string>")),
+        )
+        .withColumn("redirect_to", F.nullif(F.col("redirect_to"), F.lit("")))
+    )
 
 
 def sample_user_agent(url: Column, user_agents: list[str]) -> Column:

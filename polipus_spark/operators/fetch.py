@@ -42,12 +42,25 @@ def _join_docs(
         F.col("redirect_to").alias("_d_redirect"),
     )
     if broadcast_wave:
-        # wave LEFT JOIN docs would shuffle the (huge) corpus every wave.
-        # Same result as docs RIGHT OUTER broadcast(wave): the wave (bounded
-        # by the hot-window cap) broadcasts, the corpus only streams —
-        # no corpus shuffle per wave. On an Iceberg deployment this becomes
-        # a storage-partitioned join on bucket(doc_id).
-        return d.join(F.broadcast(wave), wave[url_expr] == d["_d_url"], "right_outer")
+        # wave LEFT JOIN docs would shuffle the (huge) corpus every wave, and
+        # Spark cannot broadcast the PRESERVED side of an outer join (a
+        # broadcast(wave) right_outer hint is silently dropped → SortMerge,
+        # i.e. a full corpus shuffle). So decompose:
+        #   hits   = docs INNER BHJ broadcast(wave)   — corpus streams, no
+        #            shuffle (BuildRight inner is supported);
+        #   misses = wave ANTI broadcast(matched urls) — the unreachable-host
+        #            rows, with null doc columns.
+        # Cost: the miss pass re-streams the corpus column-pruned to doc_id
+        # only (cheap vs any shuffle). On an Iceberg deployment both passes
+        # become storage-partitioned joins on bucket(doc_id).
+        hits = d.join(F.broadcast(wave), wave[url_expr] == d["_d_url"], "inner")
+        matched = hits.select(F.col(url_expr).alias("_m_url"))
+        misses = wave.join(
+            F.broadcast(matched), wave[url_expr] == F.col("_m_url"), "left_anti"
+        )
+        for f in d.schema.fields:
+            misses = misses.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return hits.unionByName(misses)
     # Big-wave fallback: plain left join, strategy left to AQE (sort-merge or
     # shuffle-hash on the shuffled sides) — never a driver-sized broadcast.
     return wave.join(d, wave[url_expr] == d["_d_url"], "left")
@@ -60,6 +73,7 @@ def fetch_wave(
     logical_now: int = 0,
     wave_rows: int | None = None,
     broadcast_max_rows: int = 250_000,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Input: popped frontier rows (incl. url). Output: one row per input with
     final_url, code, spans, redirect_to, aliases, fetched, error,
@@ -72,7 +86,17 @@ def fetch_wave(
     shuffled left join so an unlimited-budget multi-GB wave can never OOM the
     driver. Redirect hops follow the same decision: a hop set is a subset of
     the wave, so if the wave was broadcastable the hops are too.
+
+    Each hop frame (wave-sized) is ``localCheckpoint``-ed: the broadcast
+    decomposition references the wave/hits subtrees several times per hop,
+    so without truncation the LOGICAL plan grows ~3^hops (round-1's single
+    join already grew 2^hops) — large enough to OOM the driver on plan
+    stringification alone. Checkpointing materializes the hop (wave-sized,
+    cheap) and cuts the lineage, which is the standard Spark pattern for
+    iterative driver loops. Handles are appended to ``persisted`` for the
+    caller to release once the final result is materialized.
     """
+    keep = persisted if persisted is not None else []
     bcast = wave_rows is not None and wave_rows <= broadcast_max_rows
     cur = (
         _join_docs(wave, docs, "url", broadcast_wave=bcast)
@@ -82,6 +106,8 @@ def fetch_wave(
     )
 
     for _ in range(redirect_limit):
+        cur = cur.localCheckpoint(eager=True)
+        keep.append(cur)
         is_redirect = (
             F.col("_d_code").isNotNull()
             & F.col("_d_code").between(300, 399)

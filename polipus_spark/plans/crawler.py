@@ -311,10 +311,12 @@ class PolipusCrawler:
         valid_live = self._execute_plugin("on_before_download", valid_live)
 
         # S4/J5 fetch + redirects
+        hop_frames: list = []
         fetched = fetch_wave(
             valid_live, self.docs, o.redirect_limit, logical_now=now,
             wave_rows=n_valid,
             broadcast_max_rows=o.broadcast_wave_max_rows,
+            persisted=hop_frames,
         )
         fetched = fetched.withColumn(
             "final_uuid", url_uuid(F.col("final_url"), o.include_query_string_in_uuid)
@@ -560,6 +562,8 @@ class PolipusCrawler:
         # plugin hook: wave fully processed (lib/polipus.rb:250)
         self._execute_plugin("on_message_processed", m)
         fetched.unpersist()
+        for hf in hop_frames:  # redirect hop intermediates (fetch_wave)
+            hf.unpersist()
         valid.unpersist()
         popped.unpersist()
         if stored is not None:

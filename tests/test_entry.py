@@ -19,7 +19,7 @@ def test_queries_have_oracles():
     missing = set(os_) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"crawl_e2e_pages"}  # documented non-SQL op
+    assert rows_only == set()  # every query is oracle-checked (34/34)
 
 
 def test_entry_smoke(spark):
