@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from polipus_spark.catalog import SnapshotCatalog
+from polipus_spark.catalog import SnapshotCatalog, V_COL
 from polipus_spark.config import CrawlOptions
 from polipus_spark.functions.links import extract_links
 from polipus_spark.functions.robots import crawl_delays_df, robots_rules_df
@@ -237,12 +237,39 @@ class PolipusCrawler:
         return df
 
     def _pages_state(self) -> DataFrame | None:
-        """Latest stored page per uuid (merge-on-read S5 view)."""
+        """Latest stored page per uuid (merge-on-read S5 view); uuids whose
+        newest row is a remove-tombstone drop out (storage delete)."""
         if not self.pages.exists():
             return None
         # last-write-wins tiebreak = (snapshot, wave, seq) — the sequential
         # reference's "later store overwrites" order.
-        return self.pages.read_latest_by(["uuid"], order_extra=["wave", "seq"])
+        st = self.pages.read_latest_by(["uuid"], order_extra=["wave", "seq"])
+        if "_deleted" in st.columns:
+            st = st.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+        return st
+
+    def remove_pages(self, uuids) -> None:
+        """S5 delete path (mongo_store.rb:49-60 ``remove(page)``): append a
+        merge-on-read tombstone per uuid — the newest row wins, so the page
+        disappears from ``pages_df``/F8 immediately and the physical rows
+        drop out at the next compaction."""
+        if not self.pages.exists():
+            return
+        if not isinstance(uuids, DataFrame):
+            uuids = self.spark.createDataFrame(
+                [(u,) for u in uuids], "uuid string"
+            )
+        schema = self.pages.read().schema
+        tomb = uuids.select("uuid")
+        for f in schema.fields:
+            if f.name in ("uuid", V_COL):
+                continue
+            if f.name == "_deleted":
+                tomb = tomb.withColumn("_deleted", F.lit(True))
+            else:
+                tomb = tomb.withColumn(f.name, F.lit(None).cast(f.dataType))
+        tomb = tomb.select(*[f.name for f in schema.fields if f.name != V_COL])
+        self.pages.append(tomb, op="pages_remove")
 
     def _expired_cond(self, fetched_at_col, now: int):
         ttl = self.opts.ttl_page
@@ -424,6 +451,7 @@ class PolipusCrawler:
                 "user_data", F.lit(wave).alias("wave"),
             )
             .drop(*[c for c in o.storage_except_cols])  # X11 (mongo_store.rb:27)
+            .withColumn("_deleted", F.lit(False))  # MoR delete marker
         )
         if o.storage_enabled is False:
             m["stored"] = 0
@@ -645,10 +673,15 @@ class PolipusCrawler:
     def _compact(self, wave: int) -> None:
         """Keep MoR resolution flat on long crawls: every K committed waves,
         rewrite each grow-forever log as its resolved view (pages → latest
-        per uuid, tracker → live keys / newest bitmaps, frontier → pending
-        rows only) and vacuum orphaned snapshot dirs. fetch_log and metrics
-        are append-only journals and are never compacted."""
-        self.pages.compact(["uuid"], order_extra=["wave", "seq"], wave=wave)
+        per uuid minus remove-tombstones, tracker → live keys / newest
+        bitmaps, frontier → pending rows only) and vacuum orphaned snapshot
+        dirs. fetch_log and metrics are append-only journals and are never
+        compacted."""
+        if self.pages.exists():
+            live = self.pages.read_latest_by(["uuid"], order_extra=["wave", "seq"])
+            if "_deleted" in live.columns:
+                live = live.where(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            self.pages.overwrite(live, op="compact", wave=wave)
         if hasattr(self.tracker, "compact"):
             self.tracker.compact(wave=wave)
         self.frontier.compact(wave=wave)

@@ -199,6 +199,27 @@ def test_big_wave_shuffle_join_parity(spark, work_dir):
     assert_parity(sim, crawler)
 
 
+def test_page_store_remove(spark, work_dir):
+    """S5 delete (mongo_store.rb:49-60): remove(page) hides the page from
+    the MoR view immediately; compaction then drops the rows physically."""
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=5, with_redirect_chain=False)
+    opts = CrawlOptions(depth_limit=1, max_waves=5)
+    crawler = PolipusCrawler(spark, corpus_df(spark, docs), opts, work_dir)
+    crawler.takeover(["http://host0.example.com/"])
+    pages = crawler.pages_df().collect()
+    n = len(pages)
+    victim = sorted(r["uuid"] for r in pages)[0]
+    crawler.remove_pages([victim])
+    after = crawler.pages_df()
+    assert after.count() == n - 1
+    assert after.where(F.col("uuid") == victim).count() == 0
+    last_wave = max(r["wave"] for r in crawler.metrics.read().collect())
+    crawler._compact(last_wave)
+    # physically gone from the raw log, still absent from the view
+    assert crawler.pages.read().where(F.col("uuid") == victim).count() == 0
+    assert crawler.pages_df().count() == n - 1
+
+
 def test_compaction_long_crawl_parity_and_flat_logs(spark, work_dir):
     """Log compaction: a many-wave (politeness budget 1) crawl with
     compact_every_waves=3 keeps every snapshot log bounded — the union the
