@@ -196,6 +196,7 @@ def filter_robots_allowed(
     user_agent: str,
     url_col: str = "url",
     host_col: str = "host",
+    broadcast_denied: bool = True,
 ) -> DataFrame:
     """F2 as a dataflow: drop candidates denied by a disallow rule.
 
@@ -231,6 +232,13 @@ def filter_robots_allowed(
         .select(url_col)
         .distinct()
     )
+    if broadcast_denied:
+        # the denied set is a subset of the candidates that hit a disallow
+        # rule — wave-bounded in the crawler, so the anti-join can build it
+        # broadcast and the candidates never shuffle at all. Pass False for
+        # offline scans where the candidate set (and thus the potential
+        # denied set) is unbounded; AQE then picks the strategy.
+        denied = F.broadcast(denied)
     return candidates.join(denied, url_col, "left_anti")
 
 
