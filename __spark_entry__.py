@@ -223,14 +223,18 @@ def q_f2_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_f6_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F6: (now - ttl) > fetched_at boundary (page.rb:240-243)."""
+    """F6: (now - ttl) > fetched_at boundary (page.rb:240-243). ``now`` =
+    max(fetched_at) as a broadcast 1-row aggregate crossJoined in — ONE
+    plan, no driver collect, and no global window (which would
+    single-partition the frame at scale)."""
     e = _events(spark, sf_dir)
     fetched_at = F.unix_timestamp("ts").cast("bigint")
     d = e.select("event_id", fetched_at.alias("fetched_at"))
-    now = d.agg(F.max("fetched_at")).collect()[0][0]
-    return d.select(
+    mx = d.agg(F.max("fetched_at").alias("_now"))  # 1 row, broadcast — never
+    # a global window (that would single-partition the frame at scale)
+    return d.crossJoin(F.broadcast(mx)).select(
         "event_id",
-        ((F.lit(now) - F.lit(TTL_SECONDS)) > F.col("fetched_at")).alias("expired"),
+        ((F.col("_now") - F.lit(TTL_SECONDS)) > F.col("fetched_at")).alias("expired"),
     )
 
 

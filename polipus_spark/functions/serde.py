@@ -63,6 +63,38 @@ def page_from_json(df: DataFrame, col: str = "message") -> DataFrame:
     )
 
 
+def _inflate_pd(body, enc):
+    import gzip
+    import zlib
+
+    import pandas as pd
+
+    out = []
+    for b, e in zip(body, enc):
+        if b is None:
+            out.append(None)
+        elif e in ("gzip", "x-gzip"):
+            out.append(gzip.decompress(bytes(b)))
+        elif e == "deflate":
+            out.append(zlib.decompress(bytes(b)))  # zlib-wrapped, like Ruby
+        else:
+            out.append(bytes(b))
+    return pd.Series(out)
+
+
+def inflate_body(body: Column, content_encoding: Column) -> Column:
+    """X7: gzip / x-gzip / deflate response-body decompression
+    (http.rb:280-288 ``handle_compression``). Arrow-batched pandas UDF over
+    the binary column — stdlib zlib matches Ruby's Zlib semantics (deflate =
+    zlib-wrapped stream, gzip = GzipReader). Unknown/absent encodings pass
+    through unchanged."""
+    import pandas as pd  # noqa: F401 — worker-side import check
+
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_inflate_pd, T.BinaryType())(body, content_encoding)
+
+
 def sample_user_agent(url: Column, user_agents: list[str]) -> Column:
     """X9: deterministic UA pick — element_at(list, hash(url) % n + 1)."""
     if len(user_agents) == 1:
