@@ -423,6 +423,18 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(_emb(spark, sf_dir), n_centroids=8)
 
 
+def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF assignment over k-means-refined centroids (3 Lloyd iterations,
+    fully distributed: broadcast assign + posexplode/avg update — no driver
+    collect). Iterative float refinement is not SQL-expressible, so this
+    entry carries no oracle (driver records the rows-only check); the
+    deterministic-seed variant sim_ivf_assign IS hash-oracled and shares the
+    assignment dataflow."""
+    from polipus_spark.functions.similarity import ivf_assign
+
+    return ivf_assign(_emb(spark, sf_dir), n_centroids=8, refine_iters=3)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.5; the sf tables contain
     exactly one such pair — boundary gap 0.013, safe for float compare).
@@ -536,6 +548,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "tpch_q3_style": q_tpch_q3_style,

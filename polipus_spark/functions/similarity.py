@@ -74,26 +74,30 @@ def brute_force_topk(
     )
 
 
-def ivf_assign(
+def seed_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Assign each vector to its nearest deterministic centroid.
+    """Deterministic seed centroids: the first ``n_centroids`` vectors by id.
 
-    Centroids = the first ``n_centroids`` corpus vectors by id (reproducible;
-    swap in k-means output for quality without touching the dataflow).
-    Output: (vec_id, centroid_id).
-    """
-    w_all = Window.orderBy(F.col(id_col))
-    cents = (
+    Reproducible and SQL-oracle-able; feed to :func:`kmeans_centroids` for a
+    quality refinement. Output: (centroid_id, _cent)."""
+    return (
         corpus.orderBy(F.col(id_col)).limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent"))
     )
-    scored = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")).crossJoin(
-        F.broadcast(cents)
-    ).withColumn("_sim", cosine(F.col("_v"), F.col("_cent")))
+
+
+def _assign_to(corpus_v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, _v) × broadcast(centroids) → nearest-centroid argmax by cosine.
+
+    One broadcast nested-loop over K centroid rows per vector — never a
+    corpus shuffle; the window dedup keys on vec_id only (narrow)."""
+    scored = corpus_v.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", cosine(F.col("_v"), F.col("_cent"))
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("_sim").desc(), F.col("centroid_id").asc()
     )
@@ -104,6 +108,93 @@ def ivf_assign(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd) over an array<float> column.
+
+    Seeded from :func:`seed_centroids`, then ``n_iter`` iterations of:
+
+      assign — broadcast crossJoin vs K centroid rows, argmax cosine
+               (:func:`_assign_to`; the corpus never shuffles);
+      update — ``posexplode`` the unit-normalized vectors → partial-agg
+               ``avg`` per (centroid, dim) → re-assemble the mean array with
+               ``array_sort(collect_list(struct))``. Two narrow shuffles on
+               (centroid_id, pos) / centroid_id — K·dim rows, trivial.
+
+    Vectors are unit-normalized once up front (spherical k-means: the mean
+    of unit vectors points at the spherical centroid; cosine assignment is
+    scale-invariant so the centroid needs no re-normalization). Empty
+    clusters keep their previous centroid. The K-row centroid frame is
+    eagerly localCheckpoint-ed per iteration so plan lineage stays flat
+    instead of doubling per Lloyd step. Output: (centroid_id, _cent).
+    """
+    # _inv is one column per row; CollapseProject may inline it into each
+    # array element, but the cache below materializes the collapsed plan
+    # exactly once per row, so the recompute is a one-time cache-build cost.
+    unit = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_raw"))
+        .withColumn("_inv", F.lit(1.0) / norm(F.col("_raw")))
+        .select(
+            "vec_id",
+            F.transform(F.col("_raw"), lambda x: x.cast("double") * F.col("_inv")).alias("_v"),
+        )
+        .persist()
+    )
+    cents = seed_centroids(corpus, n_centroids, id_col, vec_col).select(
+        "centroid_id",
+        F.transform(F.col("_cent"), lambda x: x.cast("double")).alias("_cent"),
+    )
+    for _ in range(max(n_iter, 0)):
+        assign = _assign_to(unit, cents)
+        means = (
+            unit.join(assign, "vec_id")
+            .select("centroid_id", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("_new")
+            )
+        )
+        cents = (
+            cents.join(means, "centroid_id", "left")
+            .select("centroid_id", F.coalesce("_new", "_cent").alias("_cent"))
+            .localCheckpoint(eager=True)
+        )
+    unit.unpersist()
+    return cents
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid → (vec_id, centroid_id).
+
+    ``refine_iters=0`` (default) keeps the deterministic first-K-by-id seed
+    centroids (reproducible, SQL-oracle-able); ``refine_iters>0`` runs that
+    many Lloyd iterations of :func:`kmeans_centroids` first — same dataflow,
+    better-balanced inverted lists.
+    """
+    if refine_iters > 0:
+        cents = kmeans_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
+    else:
+        cents = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    corpus_v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    return _assign_to(corpus_v, cents)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -112,18 +203,23 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF search: probe the query's ``n_probe`` nearest centroid partitions
-    only — the candidate set shrinks ~(n_centroids/n_probe)×."""
-    assign = ivf_assign(corpus, n_centroids, id_col, vec_col)
+    only — the candidate set shrinks ~(n_centroids/n_probe)×.
+
+    ``refine_iters>0`` swaps the deterministic seed centroids for k-means
+    output (:func:`kmeans_centroids`) — better-balanced lists, same plan."""
+    if refine_iters > 0:
+        cents = kmeans_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
+    else:
+        cents = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    corpus_v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    assign = _assign_to(corpus_v, cents)
     corpus_p = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).join(assign.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
 
-    cents = (
-        corpus.orderBy(F.col(id_col)).limit(n_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cent"))
-    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     q_probe = (
         q.crossJoin(F.broadcast(cents))

@@ -153,6 +153,46 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert ivf == bf
 
 
+def test_kmeans_recovers_separated_clusters(spark):
+    """Lloyd refinement on 3 well-separated direction clusters: every vector
+    lands with its own cluster-mates regardless of which seeds were drawn,
+    and the refined centroids point at the 3 true directions."""
+    from polipus_spark.functions.similarity import ivf_assign
+
+    rng = np.random.default_rng(7)
+    dirs = np.eye(3)  # three orthogonal cluster directions
+    rows = []
+    for i in range(60):
+        base = dirs[i % 3]
+        noisy = base + rng.normal(0, 0.05, 3)
+        rows.append((i, [float(x) for x in noisy]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r["vec_id"]: r["centroid_id"]
+           for r in ivf_assign(emb, n_centroids=3, refine_iters=5).collect()}
+    # partition must coincide with vec_id % 3 (up to centroid relabeling)
+    label_of = {}
+    for vid, cid in got.items():
+        true = vid % 3
+        assert label_of.setdefault(true, cid) == cid, (
+            f"cluster {true} split across centroids {label_of[true]} and {cid}"
+        )
+    assert len(set(label_of.values())) == 3
+
+
+def test_ivf_topk_with_kmeans_refinement(spark):
+    """refine_iters>0 path: full-probe IVF over k-means lists still equals
+    brute force (partitioning never changes the union of candidates)."""
+    from polipus_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(q, emb, k=5).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"])
+           for r in ivf_topk(q, emb, n_centroids=4, k=5, n_probe=4,
+                             refine_iters=3).collect()}
+    assert ivf == bf
+
+
 def test_lsh_embedding_buckets_deterministic(spark):
     from polipus_spark.functions.similarity import lsh_bucket_candidates
 
