@@ -410,6 +410,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard(d, lsh_candidate_pairs(d))
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup groups: MinHash-LSH candidate pairs → connected
+    components (hash-min label propagation) → (doc_id, component) with
+    component = min doc_id in the cluster; singletons map to themselves.
+    The DuckDB oracle replays the identical banded-LSH pair derivation and
+    resolves components with a recursive CTE."""
+    from polipus_spark.functions.dedup import lsh_candidate_pairs, near_dup_groups
+
+    d = _docs(spark, sf_dir)
+    return near_dup_groups(d, lsh_candidate_pairs(d))
+
+
 def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polipus_spark.functions.similarity import brute_force_topk
 
@@ -545,6 +557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
@@ -967,6 +980,25 @@ def oracle_sql() -> dict[str, str]:
           FROM inter i
           JOIN sizes sa ON sa.id = i.id_a
           JOIN sizes sb ON sb.id = i.id_b
+        """,
+        "dedup_components": lsh_cte.replace("WITH sigs", "WITH RECURSIVE sigs", 1) + """,
+          pairs AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+          reach(node, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node)
+          SELECT d.doc_id,
+                 COALESCE(m.comp, d.doc_id) AS component
+          FROM documents d
+          LEFT JOIN (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node) m
+            ON m.node = d.doc_id
         """,
         "sim_bruteforce_topk": """
           SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (

@@ -13,6 +13,8 @@ Five dedup families over the ``documents`` table, all designed Spark-first:
     ≤ k bits (Hamming ball join via pivoted bit costs is left to callers;
     equality join on simhash catches the common exact-ish case).
   * **embedding cosine** — see similarity.py.
+  * **connected components** — hash-min label propagation turning any pair
+    set into canonical dedup groups (keeper = min id per component).
 
 Everything is Column-tier (codegen), md5-based and integer-valued so each
 operator has an exact DuckDB oracle. Permutation i of MinHash is
@@ -199,6 +201,91 @@ def simhash16(text: Column) -> Column:
         zeros = F.size(hs) - ones
         acc = acc + F.when(ones > zeros, F.lit(1 << bit)).otherwise(F.lit(0))
     return acc.cast("bigint")
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected pair graph → (node, component),
+    component = min node id reachable.
+
+    Hash-min label propagation: every node repeatedly adopts the minimum
+    label among itself and its neighbors until fixpoint. Per iteration: one
+    equi-join of the (persisted) symmetric edge list against the K-column
+    label frame + one groupBy-min — both narrow shuffles on the node key,
+    with map-side partial min aggregation. Labels are eagerly
+    localCheckpoint-ed each round so lineage stays flat; the fixpoint test
+    is a `limit(1).count()` (first changed row only), so convergence costs
+    one near-empty job, not a full scan.
+
+    Rounds needed = graph diameter — near-dup components are tiny dense
+    cliques (diameter ≤ 2-3), so this converges in a handful of rounds at
+    any corpus size. For adversarial long-chain graphs swap in
+    large-star/small-star (Kiveris et al.), which the same loop accommodates.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = edges.join(
+            labels, edges["src"] == labels["node"]
+        ).select(F.col("dst").alias("node"), "component")
+        new = (
+            labels.union(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def near_dup_groups(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, component) over ALL docs: near-dup clusters share a
+    component (its min doc_id); singletons map to themselves."""
+    cc = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).alias("component"),
+        )
+    )
+
+
+def dedup_near(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop near-duplicates: keep one doc (the min id) per connected
+    component of the pair graph; singletons always survive."""
+    groups = near_dup_groups(docs, pairs, id_col)
+    keep = groups.where(F.col("doc_id") == F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
 
 
 def exact_dup_groups(

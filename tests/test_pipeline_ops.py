@@ -125,6 +125,37 @@ def test_simhash_near_vs_far(spark):
     assert ham(got[1], got[3]) >= 4
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Chain 1-2-3 plus island 7-8 plus singleton doc 9: components resolve
+    to min ids, singleton maps to itself, keeper-only dedup keeps 3 docs."""
+    from polipus_spark.functions.dedup import (
+        connected_components, dedup_near, near_dup_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a bigint, id_b bigint"
+    )
+    cc = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    docs = _docs(spark, [(i, f"text {i}") for i in (1, 2, 3, 7, 8, 9)])
+    groups = {r["doc_id"]: r["component"]
+              for r in near_dup_groups(docs, pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 9}
+    kept = sorted(r["doc_id"] for r in dedup_near(docs, pairs).collect())
+    assert kept == [1, 7, 9]
+
+
+def test_connected_components_empty_pairs(spark):
+    from polipus_spark.functions.dedup import near_dup_groups
+
+    pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    docs = _docs(spark, [(1, "a"), (2, "b")])
+    groups = {r["doc_id"]: r["component"]
+              for r in near_dup_groups(docs, pairs).collect()}
+    assert groups == {1: 1, 2: 2}
+
+
 # ------------------------------------------------------------ similarity
 
 
