@@ -384,6 +384,63 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition: duplicate-bigram counts + class."""
+    from polipus_spark.functions.text import repetition_class, repetition_stats
+
+    d = _docs(spark, sf_dir)
+    s = repetition_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["n_grams"].alias("n_grams"),
+        s["n_distinct"].alias("n_distinct"),
+        repetition_class(F.col("text")).alias("rep_class"),
+    )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: inject deterministic emails/phones (the synthetic
+    corpus has none), then count + scrub with the engine regexes."""
+    from polipus_spark.functions.text import pii_counts, scrub_pii
+
+    d = _docs(spark, sf_dir)
+    email = F.concat(F.lit(" mail user"), F.col("doc_id").cast("string"),
+                     F.lit("@example.com"))
+    phone = F.concat(F.lit(" tel +1-555-"),
+                     F.lpad(F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"), 3, "0"),
+                     F.lit("-"),
+                     F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"))
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, email).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, phone).otherwise(F.lit("")),
+    )
+    c = pii_counts(t2)
+    return d.select(
+        "doc_id",
+        c["n_emails"].alias("n_emails"),
+        c["n_phones"].alias("n_phones"),
+        scrub_pii(t2).alias("scrubbed"),
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixing sample: language strata from
+    lang_id, per-stratum keep rates in basis points, membership a pure
+    md5(id) function — map-only, no shuffle, identical rows at any
+    parallelism (the reproducibility contract of data mixing)."""
+    from polipus_spark.functions.sampling import stratified_sample
+    from polipus_spark.functions.text import lang_id
+
+    d = _docs(spark, sf_dir).withColumn("lang", lang_id(F.col("text")))
+    out = stratified_sample(
+        d, F.col("lang"),
+        {"en": 2500, "de": 7500, "fr": 5000, "es": 5000},
+        default_bps=1000,
+    )
+    return out.select("doc_id", "lang")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polipus_spark.functions.dedup import exact_dup_groups
 
@@ -554,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "text_pii_scrub": q_text_pii_scrub,
+        "sample_stratified": q_sample_stratified,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -946,6 +1006,56 @@ def oracle_sql() -> dict[str, str]:
               ELSE [lower(text)] END,
               s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)) AS hashes
             FROM documents)
+        """,
+        "text_repetition": f"""
+          SELECT doc_id,
+                 CAST(len(grams) AS BIGINT) AS n_grams,
+                 CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+                 CASE WHEN (len(grams) - len(list_distinct(grams))) * 100
+                           <= len(grams) * 30
+                      THEN 'keep' ELSE 'drop' END AS rep_class
+          FROM (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 2 THEN
+                     list_transform(range(1, len(ws)),
+                       i -> array_to_string(list_slice(ws, i, i + 1), ' '))
+                   ELSE [array_to_string(ws, ' ')] END AS grams
+            FROM (SELECT doc_id, {ws} AS ws FROM documents))
+        """,
+        "text_pii_scrub": """
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)) AS BIGINT)
+                   AS n_emails,
+                 CAST(len(regexp_extract_all(t2,
+                   '\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,4}-[0-9]{3,4}', 0)) AS BIGINT)
+                   AS n_phones,
+                 regexp_replace(regexp_replace(t2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   '\\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,4}-[0-9]{3,4}', '<PHONE>', 'g')
+                   AS scrubbed
+          FROM (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                        THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END
+                   || CASE WHEN doc_id % 4 = 0
+                        THEN ' tel +1-555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS t2
+            FROM documents)
+        """,
+        "sample_stratified": f"""
+          SELECT doc_id, lang FROM (
+            SELECT doc_id, {_lang_case_sql()} AS lang,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                        AS BIGINT) % 10000 AS bps
+            FROM documents)
+          WHERE bps < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 7500
+                                WHEN 'fr' THEN 5000 WHEN 'es' THEN 5000
+                                ELSE 1000 END
         """,
         "dedup_exact": """
           SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_id

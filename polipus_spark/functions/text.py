@@ -128,3 +128,62 @@ def fingerprint(text: Column, k: int = 8, keep: int = 4) -> Column:
     return F.aggregate(
         bottom, F.lit(0).cast("bigint"), lambda acc, h: acc.bitwiseXOR(h)
     )
+
+
+# ---------------------------------------------------------------- repetition
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """All word n-grams (NOT distinct — repetition analysis needs counts)."""
+    ws = words(text)
+    cnt = F.size(ws)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", ws)))
+
+
+def repetition_stats(text: Column, n: int = 2) -> dict[str, Column]:
+    """Within-document repetition (Gopher-style duplicate-n-gram rule):
+    (n_grams, n_distinct) integer pair; duplicate fraction =
+    1 - n_distinct/n_grams, computed by the caller from exact counts."""
+    grams = word_ngrams(text, n)
+    return {
+        "n_grams": F.size(grams).cast("bigint"),
+        "n_distinct": F.size(F.array_distinct(grams)).cast("bigint"),
+    }
+
+
+def repetition_class(text: Column, n: int = 2, max_dup_pct: int = 30) -> Column:
+    """Keep/drop on duplicate-bigram fraction (×100 integer math, no floats):
+    drop when (n_grams - n_distinct) * 100 > n_grams * max_dup_pct."""
+    s = repetition_stats(text, n)
+    dup_ok = (s["n_grams"] - s["n_distinct"]) * 100 <= s["n_grams"] * max_dup_pct
+    return F.when(dup_ok, F.lit("keep")).otherwise(F.lit("drop"))
+
+
+# ---------------------------------------------------------------- PII scrub
+
+# Conservative patterns valid in both Java regex (Spark) and RE2 (DuckDB):
+# character classes + bounded repetition only, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}-[0-9]{3,4}-[0-9]{3,4}-[0-9]{3,4}"
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Exact match counts per PII family (integers — oracle-stable)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("bigint"),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("bigint"),
+    }
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone numbers with typed placeholders.
+
+    Pure regexp_replace — whole-stage codegen, no Python; at 100 TB this is
+    a map-only stage fused into the scan."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")

@@ -70,6 +70,67 @@ def test_fingerprint_stability(spark):
     assert got[1] == got[2] != got[3]
 
 
+def test_repetition_class(spark):
+    from polipus_spark.functions.text import repetition_class, repetition_stats
+
+    loopy = (1, "buy now " * 30)                       # all dup bigrams
+    clean = (2, "one two three four five six seven eight nine ten")
+    d = _docs(spark, [loopy, clean])
+    got = {r["doc_id"]: r["c"] for r in d.select(
+        "doc_id", repetition_class(F.col("text")).alias("c")).collect()}
+    assert got == {1: "drop", 2: "keep"}
+    s = repetition_stats(F.col("text"))
+    r = d.where(F.col("doc_id") == 2).select(
+        s["n_grams"].alias("g"), s["n_distinct"].alias("d")).collect()[0]
+    assert r["g"] == r["d"] == 9  # 10 words → 9 distinct bigrams
+
+
+def test_pii_scrub(spark):
+    from polipus_spark.functions.text import pii_counts, scrub_pii
+
+    d = _docs(spark, [
+        (1, "reach me at jane.doe+spam@mail.example.org or +44-020-7946-0958 ok"),
+        (2, "no pii here at all"),
+    ])
+    c = pii_counts(F.col("text"))
+    out = {r["doc_id"]: r for r in d.select(
+        "doc_id", c["n_emails"].alias("e"), c["n_phones"].alias("p"),
+        scrub_pii(F.col("text")).alias("s")).collect()}
+    assert out[1]["e"] == 1 and out[1]["p"] == 1
+    assert "<EMAIL>" in out[1]["s"] and "<PHONE>" in out[1]["s"]
+    assert "jane" not in out[1]["s"] and "7946" not in out[1]["s"]
+    assert out[2]["s"] == "no pii here at all"
+
+
+def test_stratified_sample_deterministic_and_nested(spark):
+    """Same rows on re-run; the 10% sample is a subset of the 50% one;
+    rates land near target on 2k rows."""
+    from polipus_spark.functions.sampling import bernoulli_sample
+
+    d = spark.range(2000).select(F.col("id").alias("doc_id"))
+    s50a = {r["doc_id"] for r in bernoulli_sample(d, 5000).collect()}
+    s50b = {r["doc_id"] for r in bernoulli_sample(d, 5000).collect()}
+    s10 = {r["doc_id"] for r in bernoulli_sample(d, 1000).collect()}
+    assert s50a == s50b
+    assert s10 <= s50a
+    assert 0.45 < len(s50a) / 2000 < 0.55
+    assert 0.07 < len(s10) / 2000 < 0.13
+
+
+def test_stratified_rates_per_stratum(spark):
+    from polipus_spark.functions.sampling import stratified_sample
+
+    d = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    out = stratified_sample(d, F.col("lang"), {"en": 1000, "de": 8000})
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 120 < counts["en"] < 280       # ~10% of 2000
+    assert 1400 < counts["de"] < 1800     # ~80% of 2000
+
+
 # ---------------------------------------------------------------- dedup
 
 
