@@ -479,6 +479,15 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(d, lsh_candidate_pairs(d))
 
 
+def q_dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy dedup (exact → LSH → Jaccard≥70% → components →
+    min-id keep): the survivors' ids. The oracle chains the identical five
+    stages in one recursive-CTE DuckDB statement."""
+    from polipus_spark.functions.dedup import fuzzy_dedup
+
+    return fuzzy_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
 def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polipus_spark.functions.similarity import brute_force_topk
 
@@ -618,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
+        "dedup_fuzzy_pipeline": q_dedup_fuzzy_pipeline,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
@@ -778,7 +788,8 @@ def _hyperplane_band_sql(n_bands: int = 8, bits_per_band: int = 4,
     )
 
 
-def _minhash_banded_sql(n_bands: int = 4, rows_per_band: int = 4) -> str:
+def _minhash_banded_sql(n_bands: int = 4, rows_per_band: int = 4,
+                        source: str = "documents") -> str:
     """CTE producing (id, band, bucket) — shared by lsh/jaccard oracles."""
     _, base, mins = _minhash_sql_parts(n_bands * rows_per_band)
     band_exprs = []
@@ -788,20 +799,24 @@ def _minhash_banded_sql(n_bands: int = 4, rows_per_band: int = 4) -> str:
         band_exprs.append(f"SELECT id, {bnd} AS band, {joined} AS bucket FROM sigs")
     return f"""
     WITH sigs AS (
-      SELECT doc_id AS id, {base} AS __base FROM documents
+      SELECT doc_id AS id, {base} AS __base FROM {source}
     ),
     banded AS ({' UNION ALL '.join(band_exprs)})
     """
 
 
-_SHINGLES_SQL = """
+def _shingles_sql(source: str = "documents") -> str:
+    return f"""
   SELECT doc_id AS id, unnest(list_distinct(
     CASE WHEN len(ws) >= 3 THEN
       list_transform(range(1, len(ws) - 2 + 1), i -> array_to_string(list_slice(ws, i, i + 2), ' '))
     ELSE [array_to_string(ws, ' ')] END)) AS gram
   FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws
-        FROM documents)
+        FROM {source})
 """
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1090,6 +1105,44 @@ def oracle_sql() -> dict[str, str]:
           FROM inter i
           JOIN sizes sa ON sa.id = i.id_a
           JOIN sizes sb ON sb.id = i.id_b
+        """,
+        "dedup_fuzzy_pipeline": _minhash_banded_sql(source="d1").replace(
+            "WITH sigs",
+            "WITH RECURSIVE d1 AS (\n"
+            "  SELECT doc_id, text FROM documents\n"
+            "  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1\n"
+            "), sigs", 1) + f""",
+          pairs AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+          sh AS ({_shingles_sql("d1")}),
+          sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+          inter AS (
+            SELECT p.id_a, p.id_b, count(*) AS inter
+            FROM pairs p
+            JOIN sh a ON a.id = p.id_a
+            JOIN sh b ON b.id = p.id_b AND b.gram = a.gram
+            GROUP BY p.id_a, p.id_b),
+          verified AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.id = i.id_a
+            JOIN sizes sb ON sb.id = i.id_b
+            WHERE i.inter * 100 >= (sa.n + sb.n - i.inter) * 70),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM verified
+            UNION ALL
+            SELECT id_b, id_a FROM verified),
+          reach(node, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node)
+          SELECT d.doc_id
+          FROM d1 d
+          LEFT JOIN (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node) m
+            ON m.node = d.doc_id
+          WHERE COALESCE(m.comp, d.doc_id) = d.doc_id
         """,
         "dedup_components": lsh_cte.replace("WITH sigs", "WITH RECURSIVE sigs", 1) + """,
           pairs AS (

@@ -288,6 +288,37 @@ def dedup_near(
     return docs.join(keep, id_col, "left_semi")
 
 
+def fuzzy_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_pct: int = 70,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The full fuzzy-dedup pass a training corpus gets, end to end:
+
+      1. exact dedup (md5 groupBy — collapses byte-identical copies first so
+         the expensive stages never see them);
+      2. MinHash-LSH candidate pairs (collision-bounded, never n²);
+      3. exact n-gram Jaccard verify ≥ ``jaccard_pct`` (integer ratio);
+      4. connected components over verified pairs (hash-min propagation);
+      5. keep the min-id doc per component.
+
+    Every stage is the already-scale-audited operator; the composition adds
+    no new shuffle shape. Returns the surviving rows of ``docs``.
+    """
+    d1 = dedup_exact(docs, id_col, text_col)
+    pairs = lsh_candidate_pairs(d1, id_col, text_col, n_bands, rows_per_band,
+                                shingle_k)
+    j = ngram_jaccard(d1, pairs, id_col, text_col, shingle_k)
+    verified = j.where(
+        F.col("inter") * 100 >= F.col("union_n") * jaccard_pct
+    ).select("id_a", "id_b")
+    return dedup_near(d1, verified, id_col)
+
+
 def exact_dup_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

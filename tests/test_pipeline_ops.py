@@ -207,6 +207,20 @@ def test_connected_components_chain_and_islands(spark):
     assert kept == [1, 7, 9]
 
 
+def test_fuzzy_dedup_pipeline(spark):
+    """Exact copy + near-copy + distinct doc: exact stage drops the copy,
+    LSH+Jaccard+CC drops the near-copy, min-id and the distinct doc stay."""
+    from polipus_spark.functions.dedup import fuzzy_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "shines bright over the green hills and the wide river flows")
+    near = base.replace("green", "blue")
+    far = "completely unrelated words about spark dataframes and shuffles here"
+    d = _docs(spark, [(1, base), (2, base), (3, near), (4, far)])
+    kept = sorted(r["doc_id"] for r in fuzzy_dedup(d).collect())
+    assert kept == [1, 4]
+
+
 def test_connected_components_empty_pairs(spark):
     from polipus_spark.functions.dedup import near_dup_groups
 
