@@ -479,6 +479,17 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(d, lsh_candidate_pairs(d))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: per-doc count of distinct 8-word
+    grams shared with the 'benchmark' (docs 0-4 stand in for an eval set).
+    Broadcast benchmark hash set; only shuffle is the per-doc count."""
+    from polipus_spark.functions.decontam import contamination_counts
+
+    d = _docs(spark, sf_dir)
+    bench = d.where(F.col("doc_id") < 5)
+    return contamination_counts(d, bench)
+
+
 def q_dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup (exact → LSH → Jaccard≥70% → components →
     min-id keep): the survivors' ids. The oracle chains the identical five
@@ -628,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_components": q_dedup_components,
         "dedup_fuzzy_pipeline": q_dedup_fuzzy_pipeline,
+        "decontaminate": q_decontaminate,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
@@ -1105,6 +1117,23 @@ def oracle_sql() -> dict[str, str]:
           FROM inter i
           JOIN sizes sa ON sa.id = i.id_a
           JOIN sizes sb ON sb.id = i.id_b
+        """,
+        "decontaminate": f"""
+          WITH gr AS (
+            SELECT doc_id AS id, unnest(list_distinct(list_transform(
+              CASE WHEN len(ws) >= 8 THEN
+                list_transform(range(1, len(ws) - 7 + 1),
+                  i -> array_to_string(list_slice(ws, i, i + 7), ' '))
+              ELSE [array_to_string(ws, ' ')] END,
+              g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)))) AS h
+            FROM (SELECT doc_id, {ws} AS ws FROM documents)
+          ),
+          bh AS (SELECT DISTINCT h FROM gr WHERE id < 5),
+          hits AS (
+            SELECT id, count(*) AS c FROM gr
+            WHERE h IN (SELECT h FROM bh) GROUP BY id)
+          SELECT d.doc_id, CAST(COALESCE(hits.c, 0) AS BIGINT) AS n_contaminated
+          FROM documents d LEFT JOIN hits ON hits.id = d.doc_id
         """,
         "dedup_fuzzy_pipeline": _minhash_banded_sql(source="d1").replace(
             "WITH sigs",

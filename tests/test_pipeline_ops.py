@@ -231,6 +231,28 @@ def test_connected_components_empty_pairs(spark):
     assert groups == {1: 1, 2: 2}
 
 
+def test_decontamination(spark):
+    """Doc sharing one 8-gram with the benchmark is flagged and dropped;
+    clean doc survives; counts are exact."""
+    from polipus_spark.functions.decontam import (
+        contamination_counts, decontaminate,
+    )
+
+    bench = _docs(spark, [
+        (100, "what is the capital of france the answer is paris of course"),
+    ])
+    leaky = (1, "quiz says what is the capital of france the answer we know")
+    clean = (2, "totally different text with no overlap whatsoever in any span")
+    d = _docs(spark, [leaky, clean])
+    got = {r["doc_id"]: r["n_contaminated"]
+           for r in contamination_counts(d, bench).collect()}
+    # the shared span "what is the capital of france the answer" is exactly
+    # 8 words → exactly 1 overlapping 8-gram
+    assert got[1] == 1 and got[2] == 0
+    kept = [r["doc_id"] for r in decontaminate(d, bench).collect()]
+    assert kept == [2]
+
+
 # ------------------------------------------------------------ similarity
 
 
