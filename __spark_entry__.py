@@ -479,6 +479,16 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_groups(d, lsh_candidate_pairs(d))
 
 
+def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-ball pairs (≤3 bits): pigeonhole banding on the
+    16-bit fingerprint — equi-join on (band, band_bits), bit_count verify.
+    Completes the SimHash family: the equality join catches exact-ish dups,
+    this catches the near ball without an n² comparison."""
+    from polipus_spark.functions.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), k=3)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination screen: per-doc count of distinct 8-word
     grams shared with the 'benchmark' (docs 0-4 stand in for an eval set).
@@ -640,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_fuzzy_pipeline": q_dedup_fuzzy_pipeline,
         "decontaminate": q_decontaminate,
+        "dedup_simhash_near": q_dedup_simhash_near,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
@@ -1093,6 +1104,29 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, list_transform({ws},
                   w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs
                 FROM documents)
+        """,
+        "dedup_simhash_near": f"""
+          WITH wh AS (
+            SELECT id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+            FROM (SELECT doc_id AS id, unnest({ws}) AS w FROM documents)
+          ),
+          sums AS (SELECT id,
+            {", ".join(f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(60))}
+            FROM wh GROUP BY id),
+          s AS (SELECT id, CAST(
+            {" + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(60))}
+            AS BIGINT) AS sh FROM sums),
+          banded AS (
+                      SELECT id, sh, 0 AS band, (sh >> 0) & 32767 AS bits FROM s
+            UNION ALL SELECT id, sh, 1, (sh >> 15) & 32767 FROM s
+            UNION ALL SELECT id, sh, 2, (sh >> 30) & 32767 FROM s
+            UNION ALL SELECT id, sh, 3, (sh >> 45) & 32767 FROM s
+          )
+          SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                 CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bits = r.bits AND l.id < r.id
+          WHERE bit_count(xor(l.sh, r.sh)) <= 3
         """,
         "dedup_minhash_lsh": lsh_cte + """
           SELECT DISTINCT l.id AS id_a, r.id AS id_b

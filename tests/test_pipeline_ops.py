@@ -186,6 +186,38 @@ def test_simhash_near_vs_far(spark):
     assert ham(got[1], got[3]) >= 4
 
 
+def test_simhash_near_pairs(spark):
+    """Near-copies land within the Hamming ball and are found via the
+    banded join; unrelated docs are not. simhash60_agg matches a direct
+    per-row recomputation of the same ±1 sign rule."""
+    from polipus_spark.functions.dedup import simhash60_agg, simhash_near_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while the sun "
+            "shines bright over the green hills and the wide river flows "
+            "past the old mill near the quiet village every single day")
+    near = base.replace("green", "blue")
+    far = ("entirely different subject matter discussing distributed query "
+           "engines shuffle partitioning broadcast joins and adaptive "
+           "execution plans running on large compute clusters at scale")
+    d = _docs(spark, [(1, base), (2, near), (3, far)])
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_pairs(d, k=3).collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert (1, 3) not in got and (2, 3) not in got
+
+    # cross-check the agg formulation against per-row python
+    import hashlib
+    rows = {r["id"]: r["sh"] for r in simhash60_agg(d).collect()}
+    for doc_id, text in [(1, base), (3, far)]:
+        ws = [w for w in text.lower().split() if w]
+        hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in ws]
+        expect = sum(
+            (1 << b) for b in range(60)
+            if sum(1 if h & (1 << b) else -1 for h in hs) > 0
+        )
+        assert rows[doc_id] == expect
+
+
 def test_connected_components_chain_and_islands(spark):
     """Chain 1-2-3 plus island 7-8 plus singleton doc 9: components resolve
     to min ids, singleton maps to itself, keeper-only dedup keeps 3 docs."""
