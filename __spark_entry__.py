@@ -441,6 +441,35 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence prep: overlapping 64-word windows (step 56) per
+    doc — map-only explode, no shuffle."""
+    from polipus_spark.functions.text import chunk_docs
+
+    return chunk_docs(_docs(spark, sf_dir), chunk=64, overlap=8)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation rollup: docs + token mass per (language, quality class) —
+    the mixing report a data pipeline publishes per snapshot. One narrow
+    groupBy with map-side partial agg."""
+    from polipus_spark.functions.text import lang_id, quality_class, token_count
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            lang_id(F.col("text")).alias("lang"),
+            quality_class(F.col("text")).alias("quality"),
+            token_count(F.col("text")).cast("bigint").alias("t"),
+        )
+        .groupBy("lang", "quality")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("t").alias("total_tokens"),
+        )
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polipus_spark.functions.dedup import exact_dup_groups
 
@@ -644,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "sample_stratified": q_sample_stratified,
+        "text_chunking": q_text_chunking,
+        "corpus_stats": q_corpus_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1094,6 +1125,30 @@ def oracle_sql() -> dict[str, str]:
           WHERE bps < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 7500
                                 WHEN 'fr' THEN 5000 WHEN 'es' THEN 5000
                                 ELSE 1000 END
+        """,
+        "text_chunking": f"""
+          SELECT doc_id,
+                 CAST(i AS INT) AS chunk_id,
+                 array_to_string(list_slice(ws, i * 56 + 1, i * 56 + 64), ' ')
+                   AS chunk_text,
+                 CAST(least(64, len(ws) - i * 56) AS INT) AS n_words
+          FROM (
+            SELECT doc_id, ws,
+                   unnest(range(0,
+                     1 + CAST(ceil(greatest(0, len(ws) - 64) / 56.0) AS INT))) AS i
+            FROM (SELECT doc_id, {ws} AS ws FROM documents))
+        """,
+        "corpus_stats": f"""
+          SELECT {_lang_case_sql()} AS lang,
+                 CASE WHEN len({ws}) >= 20
+                       AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0)) * 100 <= length(text) * 20
+                       AND len(list_filter({ws}, w -> w IN ({en_list}))) * 100 >= len({ws}) * 2
+                      THEN 'keep' ELSE 'drop' END AS quality,
+                 count(*) AS n_docs,
+                 CAST(SUM(len(regexp_extract_all(text, '{TOKEN_RE}', 0))) AS BIGINT)
+                   AS total_tokens
+          FROM documents
+          GROUP BY 1, 2
         """,
         "dedup_exact": """
           SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_id

@@ -187,3 +187,46 @@ def scrub_pii(text: Column) -> Column:
     a map-only stage fused into the scan."""
     out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+# ---------------------------------------------------------------- chunking
+
+def chunk_words(text: Column, chunk: int = 64, overlap: int = 8) -> Column:
+    """Split a document into overlapping fixed-word windows for training
+    sequence prep → array<struct<chunk_id:int, chunk_text:string,
+    n_words:int>>.
+
+    Chunk i covers words [i·step, i·step + chunk) with step = chunk−overlap;
+    the last chunk may be short; an empty/short doc yields one chunk. Pure
+    Column expressions (sequence/slice/transform) — a map-only explode at
+    any scale, no shuffle."""
+    if overlap >= chunk:
+        raise ValueError("overlap must be < chunk")
+    step = chunk - overlap
+    ws = words(text)
+    n = F.size(ws)
+    # number of chunks: 1 + ceil(max(0, n - chunk) / step)
+    extra = F.greatest(F.lit(0), n - F.lit(chunk))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(step)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(ws, i * step + 1, chunk)).alias("chunk_text"),
+            F.least(F.lit(chunk), n - i * F.lit(step)).cast("int").alias("n_words"),
+        ),
+    )
+
+
+def chunk_docs(
+    docs, chunk: int = 64, overlap: int = 8,
+    id_col: str = "doc_id", text_col: str = "text",
+):
+    """Explode docs into (doc_id, chunk_id, chunk_text, n_words) rows."""
+    c = F.explode(chunk_words(F.col(text_col), chunk, overlap)).alias("_c")
+    return docs.select(F.col(id_col).alias("doc_id"), c).select(
+        "doc_id",
+        F.col("_c.chunk_id").alias("chunk_id"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_words").alias("n_words"),
+    )

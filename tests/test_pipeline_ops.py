@@ -70,6 +70,25 @@ def test_fingerprint_stability(spark):
     assert got[1] == got[2] != got[3]
 
 
+def test_chunking_windows_and_overlap(spark):
+    from polipus_spark.functions.text import chunk_docs
+
+    words70 = " ".join(f"w{i}" for i in range(70))
+    d = _docs(spark, [(1, words70), (2, "tiny doc"), (3, "")])
+    out = chunk_docs(d, chunk=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 70 words, step 56 → chunks at 0 (64 words) and 56 (14 words)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_words"] for r in c1] == [64, 14]
+    assert c1[0]["chunk_text"].startswith("w0 ") and c1[1]["chunk_text"].startswith("w56 ")
+    # overlap: last 8 words of chunk 0 == first 8 words of chunk 1
+    assert c1[0]["chunk_text"].split()[-8:] == c1[1]["chunk_text"].split()[:8]
+    assert [r["n_words"] for r in by_doc[2]] == [2]
+    assert [r["n_words"] for r in by_doc[3]] == [0]
+
+
 def test_repetition_class(spark):
     from polipus_spark.functions.text import repetition_class, repetition_stats
 
