@@ -563,6 +563,14 @@ def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(_emb(spark, sf_dir), n_centroids=8, refine_iters=3)
 
 
+def q_sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4× scan cut at rest);
+    floor(+0.5) rounding so both engines agree bit-for-bit on doubles."""
+    from polipus_spark.functions.similarity import quantize_int8
+
+    return quantize_int8(_emb(spark, sf_dir))
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.5; the sf tables contain
     exactly one such pair — boundary gap 0.013, safe for float compare).
@@ -686,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
+        "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "tpch_q3_style": q_tpch_q3_style,
@@ -1280,6 +1289,18 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d
           LEFT JOIN (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node) m
             ON m.node = d.doc_id
+        """,
+        "sim_quantize_int8": """
+          SELECT vec_id,
+                 CASE WHEN m > 0
+                   THEN list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS INT))
+                   ELSE list_transform(v, x -> 0) END AS q,
+                 m AS scale
+          FROM (SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                       list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS m
+                FROM embeddings)
         """,
         "sim_bruteforce_topk": """
           SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (

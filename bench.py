@@ -167,6 +167,8 @@ def run_queries(spark: SparkSession) -> dict[str, float]:
         "text_quality", "text_fingerprint", "dedup_exact", "dedup_simhash",
         "dedup_minhash_lsh", "dedup_ngram_jaccard", "sim_bruteforce_topk",
         "sim_ivf_assign", "events_sessionize", "tpch_q1_style",
+        "dedup_simhash_near", "dedup_fuzzy_pipeline", "decontaminate",
+        "sample_stratified", "text_chunking", "corpus_stats",
     ]
     out: dict[str, float] = {}
     for name in headline:

@@ -363,3 +363,31 @@ def lsh_bucket_candidates(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+
+
+def quantize_int8(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization for embedding storage:
+    q_i = floor(127·v_i/max|v| + 0.5), scale carried as max|v|.
+
+    4× smaller at rest than float32 (16× vs float64) — at 100 TB the
+    embedding table's scan time drops proportionally and an int8 dot is
+    SIMD-friendlier. floor(+0.5) not round(): both engines define floor
+    identically on IEEE doubles, so the DuckDB oracle is bit-exact, where
+    round() half-case conventions differ. Zero vectors quantize to zeros.
+    Output: (vec_id, q array<int>, scale double).
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, F.abs))
+    q = F.when(
+        max_abs > 0,
+        F.transform(v, lambda x: F.floor(x * 127.0 / max_abs + 0.5).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return corpus.select(
+        F.col(id_col).alias("vec_id"),
+        q.alias("q"),
+        max_abs.alias("scale"),
+    )

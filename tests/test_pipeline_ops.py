@@ -372,6 +372,25 @@ def test_ivf_topk_with_kmeans_refinement(spark):
     assert ivf == bf
 
 
+def test_quantize_int8_bounds_and_zero(spark):
+    from polipus_spark.functions.similarity import quantize_int8
+
+    rows = [(0, [0.5, -1.0, 0.25]), (1, [0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = {r["vec_id"]: (list(r["q"]), r["scale"])
+           for r in quantize_int8(emb).collect()}
+    # scale=1.0: 0.5→64 (floor(63.5+0.5)), -1.0→-127, 0.25→32 (floor(32.25))
+    assert got[0] == ([64, -127, 32], 1.0)
+    assert got[1] == ([0, 0, 0], 0.0)
+    # dequantized error ≤ scale/127 half-step per component
+    emb2 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    j = quantize_int8(emb2).join(emb2, "vec_id").limit(50).collect()
+    for r in j:
+        for qi, vi in zip(r["q"], r["embedding"]):
+            assert abs(qi * r["scale"] / 127.0 - vi) <= r["scale"] / 127.0
+    assert all(all(-127 <= qi <= 127 for qi in r["q"]) for r in j)
+
+
 def test_lsh_embedding_buckets_deterministic(spark):
     from polipus_spark.functions.similarity import lsh_bucket_candidates
 
