@@ -449,6 +449,19 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_docs(_docs(spark, sf_dir), chunk=64, overlap=8)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit sequence packing of 64-word chunks into 256-word
+    budgets (hash-binned applyInPandas; deterministic at any parallelism).
+    The greedy fill is a per-row recurrence — not SQL-expressible, so this
+    entry is rows-only like sim_ivf_kmeans; budget-respect and determinism
+    are pinned by tests/test_packing.py."""
+    from polipus_spark.functions.packing import pack_sequences
+    from polipus_spark.functions.text import chunk_docs
+
+    chunks = chunk_docs(_docs(spark, sf_dir), chunk=64, overlap=8)
+    return pack_sequences(chunks, budget=256, n_bins=16)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation rollup: docs + token mass per (language, quality class) —
     the mixing report a data pipeline publishes per snapshot. One narrow
@@ -683,6 +696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "text_chunking": q_text_chunking,
         "corpus_stats": q_corpus_stats,
+        "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -869,13 +883,17 @@ def _minhash_banded_sql(n_bands: int = 4, rows_per_band: int = 4,
 
 
 def _shingles_sql(source: str = "documents") -> str:
+    """(id, g): 60-bit md5 hashes of distinct 3-word shingles — hashed
+    BEFORE the intersection join, mirroring dedup.ngram_jaccard."""
     return f"""
-  SELECT doc_id AS id, unnest(list_distinct(
-    CASE WHEN len(ws) >= 3 THEN
-      list_transform(range(1, len(ws) - 2 + 1), i -> array_to_string(list_slice(ws, i, i + 2), ' '))
-    ELSE [array_to_string(ws, ' ')] END)) AS gram
-  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws
-        FROM {source})
+  SELECT id, CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS g
+  FROM (
+    SELECT doc_id AS id, unnest(list_distinct(
+      CASE WHEN len(ws) >= 3 THEN
+        list_transform(range(1, len(ws) - 2 + 1), i -> array_to_string(list_slice(ws, i, i + 2), ' '))
+      ELSE [array_to_string(ws, ' ')] END)) AS gram
+    FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '') AS ws
+          FROM {source}))
 """
 
 
@@ -1208,7 +1226,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.id_a, p.id_b, count(*) AS inter
             FROM pairs p
             JOIN sh a ON a.id = p.id_a
-            JOIN sh b ON b.id = p.id_b AND b.gram = a.gram
+            JOIN sh b ON b.id = p.id_b AND b.g = a.g
             GROUP BY p.id_a, p.id_b)
           SELECT i.id_a, i.id_b, i.inter,
                  sa.n + sb.n - i.inter AS union_n
@@ -1249,7 +1267,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.id_a, p.id_b, count(*) AS inter
             FROM pairs p
             JOIN sh a ON a.id = p.id_a
-            JOIN sh b ON b.id = p.id_b AND b.gram = a.gram
+            JOIN sh b ON b.id = p.id_b AND b.g = a.g
             GROUP BY p.id_a, p.id_b),
           verified AS (
             SELECT i.id_a, i.id_b

@@ -166,16 +166,21 @@ def ngram_jaccard(
     """Exact Jaccard for candidate pairs → (id_a, id_b, inter, union_n).
 
     Integer counts only; similarity = inter/union computed by the caller.
+    Shingles are hashed to 60-bit ints BEFORE the intersection join — the
+    shuffle key is 8 bytes instead of a ~25-byte gram string (~3× narrower
+    exchange on the hottest stage); collision error is ≤ grams²/2^60 per
+    doc pair (immaterial), and the oracle hashes identically so parity is
+    exact, not approximate.
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_k)).alias("gram"),
-    )
+    ).select("id", h60_str(F.col("gram")).alias("g"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("id").alias("id_a"), F.col("gram"))
-    b = sh.select(F.col("id").alias("id_b"), F.col("gram"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("g"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("g"))
     inter = (
-        pairs.join(a, "id_a").join(b, ["id_b", "gram"])
+        pairs.join(a, "id_a").join(b, ["id_b", "g"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )

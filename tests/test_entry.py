@@ -19,9 +19,10 @@ def test_queries_have_oracles():
     missing = set(os_) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     rows_only = set(qs) - set(os_)
-    # iterative float refinement is not SQL-expressible — the ONLY entry
-    # allowed to be rows-only; everything else must be hash-oracled
-    assert rows_only == {"sim_ivf_kmeans"}
+    # the ONLY entries allowed to be rows-only (iterative float refinement /
+    # greedy per-row recurrence — not SQL-expressible); everything else
+    # must be hash-oracled
+    assert rows_only == {"sim_ivf_kmeans", "pack_sequences"}
 
 
 def test_entry_smoke(spark):
