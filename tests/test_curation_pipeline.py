@@ -1,0 +1,55 @@
+"""End-to-end corpus curation: each stage kills exactly the doc crafted to
+die there; the report counts match; final survivors exact."""
+
+from pyspark.sql import functions as F
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then runs far "
+        "away with great speed to find more food near the river")
+SHORT = "the cat"
+REPEATY = "the cat sat on the mat " * 20
+LEAKY = ("students often ask what is the capital of france the answer is "
+         "paris and the teacher smiles at the class every single day")
+NEAR_A = ("the quick brown fox jumps over the lazy dog while the sun "
+          "shines bright over the green hills and the wide river flows")
+NEAR_B = NEAR_A.replace("green", "blue")
+BENCH = "what is the capital of france the answer is paris of course"
+
+
+def test_curate_corpus_end_to_end(spark):
+    from polipus_spark.pipeline import curate_corpus, curation_report
+
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD), (3, SHORT), (4, REPEATY), (5, LEAKY),
+         (6, NEAR_A), (7, NEAR_B)],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame([(100, BENCH)], "doc_id bigint, text string")
+    final, stages = curate_corpus(docs, bench)
+
+    report = {r["stage"]: r["n_docs"]
+              for r in curation_report(stages).collect()}
+    assert report == {
+        "input": 7,
+        "quality": 6,          # SHORT dies (under 20 words)
+        "repetition": 5,       # REPEATY dies (dup bigrams)
+        "decontaminated": 4,   # LEAKY dies (shares an 8-gram with BENCH)
+        "deduped": 2,          # exact copy 2 and near-dup 7 die
+    }
+    assert sorted(r["doc_id"] for r in final.collect()) == [1, 6]
+    # stage order preserved for the report
+    order = [r["stage"] for r in
+             curation_report(stages).orderBy("stage_order").collect()]
+    assert order == ["input", "quality", "repetition", "decontaminated", "deduped"]
+
+
+def test_curate_corpus_optional_stages(spark):
+    """No benchmark + quality off: only repetition and dedup run."""
+    from polipus_spark.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD), (3, SHORT)], "doc_id bigint, text string"
+    )
+    final, stages = curate_corpus(docs, None, quality=False)
+    assert set(stages) == {"input", "repetition", "deduped"}
+    # SHORT survives (quality off; "the cat" has 1 distinct bigram of 1)
+    assert sorted(r["doc_id"] for r in final.collect()) == [1, 3]
