@@ -349,25 +349,45 @@ def simhash60_agg(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bits: int = 60,
+    arrow: bool = True,
 ) -> DataFrame:
-    """60-bit SimHash via explode + groupBy — the scale formulation.
+    """60-bit SimHash per doc — one shuffle of (id, 60-bit word hash) rows.
 
-    One md5 per (doc, word token); each bit is a ±1 partial-aggregated sum
-    (map-side combine, one narrow shuffle on the doc id) — the exact
-    analog of ``minhash_signature_agg``. 60 bits (vs the reference-parity
-    16-bit ``simhash16``) is what makes Hamming-ball banding selective:
-    a random 15-bit band collides at 2^-15, not 2^-4. Docs with no word
-    tokens get no row (mirrored by the SQL oracle). Output: (id, sh).
+    60 bits (vs the reference-parity 16-bit ``simhash16``) is what makes
+    Hamming-ball banding selective: a random 15-bit band collides at 2^-15,
+    not 2^-4. The md5-derived word hashes are computed JVM-side; the sign
+    aggregation runs as an Arrow ``applyInPandas`` numpy kernel per doc
+    (bit-matrix popcount — same pattern as the Bloom bitmap kernels;
+    ~2× faster end-to-end than the pure-Column explode at sf0.1, and the
+    shuffle carries 1 row per word instead of ``n_bits`` per word).
+    ``arrow=False`` keeps the pure-Column formulation: posexplode to
+    (id, bit, ±1) + two narrow partial-agg sums — NOT 60 SUM(CASE)
+    aggregate columns, whose Catalyst analysis costs tens of seconds per
+    query (measured 43 s on a 2-row input). Docs with no word tokens get
+    no row (mirrored by the SQL oracle). Output: (id, sh).
     """
-    # (id, h) → posexplode to (id, bit, ±1) → two narrow partial-agg sums.
-    # Deliberately NOT 60 SUM(CASE) aggregate columns: that plan is small to
-    # execute but its analysis/optimization costs tens of seconds PER QUERY
-    # (measured 43 s on a 2-row input) — the exploded form is all tiny
-    # expressions and analyzes in milliseconds.
     wh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(words(F.col(text_col))).alias("w"),
     ).select("id", h60_str(F.col("w")).alias("h"))
+    if arrow:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType([
+            StructField("id", LongType()), StructField("sh", LongType()),
+        ])
+
+        def _kernel(pdf):
+            import numpy as np
+            import pandas as pd
+
+            h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
+            ones = ((h[:, None] >> np.arange(n_bits, dtype=np.uint64)) & 1).sum(axis=0)
+            mask = (2 * ones > len(h)).astype(np.uint64)
+            sh = int((mask << np.arange(n_bits, dtype=np.uint64)).sum())
+            return pd.DataFrame({"id": [pdf["id"].iloc[0]], "sh": [sh]})
+
+        return wh.groupBy("id").applyInPandas(_kernel, schema)
     signs = wh.select(
         "id",
         F.posexplode(

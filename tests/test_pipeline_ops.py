@@ -224,9 +224,14 @@ def test_simhash_near_pairs(spark):
     assert (1, 2) in got and got[(1, 2)] <= 3
     assert (1, 3) not in got and (2, 3) not in got
 
+    # Arrow kernel (default) and pure-Column formulation must agree exactly
+    col_rows = {r["id"]: r["sh"] for r in simhash60_agg(d, arrow=False).collect()}
+    arrow_rows = {r["id"]: r["sh"] for r in simhash60_agg(d, arrow=True).collect()}
+    assert col_rows == arrow_rows
+
     # cross-check the agg formulation against per-row python
     import hashlib
-    rows = {r["id"]: r["sh"] for r in simhash60_agg(d).collect()}
+    rows = arrow_rows
     for doc_id, text in [(1, base), (3, far)]:
         ws = [w for w in text.lower().split() if w]
         hs = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in ws]
