@@ -542,6 +542,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_counts(d, bench)
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal (fixed 10-word windows; md5 doc-frequency >1 ⇒
+    boilerplate, dropped everywhere; survivors re-join in order)."""
+    from polipus_spark.functions.dedup import dedup_spans
+
+    return dedup_spans(_docs(spark, sf_dir), span_words=10, max_doc_freq=1)
+
+
 def q_dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup (exact → LSH → Jaccard≥70% → components →
     min-id keep): the survivors' ids. The oracle chains the identical five
@@ -704,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_pipeline": q_dedup_fuzzy_pipeline,
         "decontaminate": q_decontaminate,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
@@ -1186,6 +1195,27 @@ def oracle_sql() -> dict[str, str]:
           FROM (SELECT doc_id, list_transform({ws},
                   w -> CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT)) AS hs
                 FROM documents)
+        """,
+        "dedup_spans": f"""
+          WITH u AS (
+            SELECT doc_id, CAST(i AS INT) AS pos,
+                   array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ')
+                     AS unit
+            FROM (
+              SELECT doc_id, ws,
+                     unnest(range(0, CAST(ceil(len(ws) / 10.0) AS INT))) AS i
+              FROM (SELECT doc_id, {ws} AS ws FROM documents)
+              WHERE len(ws) > 0)
+          ),
+          rare AS (
+            SELECT md5(unit) AS h FROM u
+            GROUP BY 1 HAVING count(DISTINCT doc_id) <= 1),
+          rebuilt AS (
+            SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS text
+            FROM u WHERE md5(unit) IN (SELECT h FROM rare)
+            GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(r.text, '') AS text
+          FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "dedup_simhash_near": f"""
           WITH wh AS (

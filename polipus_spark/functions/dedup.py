@@ -466,3 +466,89 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= k)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def _dedup_units(
+    docs: DataFrame,
+    units: DataFrame,
+    max_doc_freq: int,
+    joiner: str,
+    id_col: str,
+) -> DataFrame:
+    """Shared machinery for line/span dedup: units = (doc_id, pos, unit).
+
+    Doc-frequency per md5(unit) (map-side partial agg, narrow shuffle on
+    the 32-char hash), left_semi back to surviving units, reassemble in
+    position order with array_sort(collect_list(struct)). Docs whose units
+    all died come back with empty text (left join against the input)."""
+    hashed = units.withColumn("_h", F.md5(F.col("unit")))
+    rare = (
+        hashed.groupBy("_h")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .where(F.col("_df") <= max_doc_freq)
+        .select("_h")
+    )
+    kept = hashed.join(rare, "_h", "left_semi")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            joiner,
+        ).alias("text")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+
+
+def dedup_spans(
+    docs: DataFrame,
+    span_words: int = 10,
+    max_doc_freq: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide repeated-span removal (the fixed-window approximation of
+    substring dedup à la "Deduplicating Training Data Makes Language Models
+    Better"): the text splits into consecutive ``span_words``-word segments;
+    any segment whose md5 occurs in more than ``max_doc_freq`` DISTINCT
+    docs is boilerplate/duplication and is removed from every doc; the
+    survivors re-join in order. Run exact/fuzzy doc-level dedup first —
+    byte-identical docs would otherwise hollow each other out.
+    Output: (doc_id, text) for every input doc (possibly shortened/empty).
+    """
+    ws = words(F.col(text_col))
+    n_seg = F.ceil(F.size(ws) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("pos"),
+            F.concat_ws(" ", F.slice(ws, i * span_words + 1, span_words)).alias("unit"),
+        ),
+    )
+    units = (
+        docs.where(F.size(ws) > 0)
+        .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("_u"))
+        .select("doc_id", F.col("_u.pos").alias("pos"), F.col("_u.unit").alias("unit"))
+    )
+    return _dedup_units(docs, units, max_doc_freq, " ", id_col)
+
+
+def dedup_lines(
+    docs: DataFrame,
+    max_doc_freq: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style line-level dedup: newline-delimited lines occurring in
+    more than ``max_doc_freq`` distinct docs (site boilerplate — headers,
+    nav, footers) are dropped from every doc; blank lines are ignored."""
+    units = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "unit"),
+    ).where(F.trim(F.col("unit")) != "")
+    return _dedup_units(docs, units, max_doc_freq, "\n", id_col)

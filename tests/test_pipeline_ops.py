@@ -263,6 +263,36 @@ def test_connected_components_chain_and_islands(spark):
     assert kept == [1, 7, 9]
 
 
+def test_dedup_spans_removes_repeated_windows(spark):
+    """A 10-word span shared by two docs disappears from both; unique spans
+    survive; fully-boilerplate docs come back empty (not missing)."""
+    from polipus_spark.functions.dedup import dedup_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    a_tail = " ".join(f"a{i}" for i in range(10))
+    b_tail = " ".join(f"b{i}" for i in range(10))
+    d = _docs(spark, [
+        (1, shared + " " + a_tail),
+        (2, shared + " " + b_tail),
+        (3, shared),
+    ])
+    got = {r["doc_id"]: r["text"] for r in dedup_spans(d, span_words=10).collect()}
+    assert got == {1: a_tail, 2: b_tail, 3: ""}
+
+
+def test_dedup_lines_boilerplate(spark):
+    """Shared nav/footer lines vanish; unique content and order survive."""
+    from polipus_spark.functions.dedup import dedup_lines
+
+    nav, footer = "HOME | ABOUT | CONTACT", "copyright example inc"
+    d = _docs(spark, [
+        (1, f"{nav}\narticle one body text\n{footer}"),
+        (2, f"{nav}\narticle two different text\n{footer}"),
+    ])
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(d).collect()}
+    assert got == {1: "article one body text", 2: "article two different text"}
+
+
 def test_fuzzy_dedup_pipeline(spark):
     """Exact copy + near-copy + distinct doc: exact stage drops the copy,
     LSH+Jaccard+CC drops the near-copy, min-id and the distinct doc stay."""
