@@ -449,6 +449,24 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_docs(_docs(spark, sf_dir), chunk=64, overlap=8)
 
 
+def q_text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-100 tokens by count (tie: token asc)."""
+    from polipus_spark.functions.text import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=100).select(
+        "token", F.col("n").cast("bigint").alias("n"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram corpus-LM quality score (integer floor(1000·log2 freq) sums
+    — exact cross-engine, unlike a float mean)."""
+    from polipus_spark.functions.text import lm_quality_score
+
+    return lm_quality_score(_docs(spark, sf_dir))
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit sequence packing of 64-word chunks into 256-word
     budgets (hash-binned applyInPandas; deterministic at any parallelism).
@@ -705,6 +723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": q_text_chunking,
         "corpus_stats": q_corpus_stats,
         "pack_sequences": q_pack_sequences,
+        "text_vocab_topk": q_text_vocab_topk,
+        "text_lm_score": q_text_lm_score,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1185,6 +1205,30 @@ def oracle_sql() -> dict[str, str]:
                    AS total_tokens
           FROM documents
           GROUP BY 1, 2
+        """,
+        "text_vocab_topk": f"""
+          SELECT token, n, CAST(rank AS INT) AS rank FROM (
+            SELECT token, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, token ASC) AS rank
+            FROM (SELECT unnest({ws}) AS token FROM documents)
+            GROUP BY token)
+          WHERE rank <= 100
+        """,
+        "text_lm_score": f"""
+          WITH toks AS (
+            SELECT doc_id, unnest({ws}) AS token FROM documents),
+          freqs AS (
+            SELECT token,
+                   CAST(floor(1000.0 * log2(count(*))) AS BIGINT) AS lf
+            FROM toks GROUP BY token),
+          scored AS (
+            SELECT t.doc_id, count(*) AS n_tokens, SUM(f.lf) AS sum_lf
+            FROM toks t JOIN freqs f USING (token)
+            GROUP BY t.doc_id)
+          SELECT d.doc_id,
+                 CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                 CAST(COALESCE(s.sum_lf, 0) AS BIGINT) AS sum_lf
+          FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "dedup_exact": """
           SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_id

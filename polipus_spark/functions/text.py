@@ -13,7 +13,7 @@ hashes) — never floats — so cross-engine value-hash comparison is exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword marker sets (n-gram heuristic): a document's
@@ -229,4 +229,71 @@ def chunk_docs(
         F.col("_c.chunk_id").alias("chunk_id"),
         F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.n_words").alias("n_words"),
+    )
+
+
+# ----------------------------------------------------------- corpus stats
+
+def token_freqs(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus-wide token frequency table → (token, n). One explode +
+    narrow groupBy with map-side partial counts."""
+    return (
+        docs.select(F.explode(words(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def vocab_topk(docs, k: int = 100, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Top-k corpus tokens by count (ties broken by token asc) →
+    (token, n, rank).
+
+    orderBy().limit(k) compiles to TakeOrderedAndProject — a distributed
+    per-partition top-k + driver merge, never a global sort; the rank
+    window then runs over only the k survivors (a global window over the
+    full vocab would single-partition 10^7 rows)."""
+    top = token_freqs(docs, id_col, text_col).orderBy(
+        F.col("n").desc(), F.col("token").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def lm_quality_score(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Unigram corpus-LM score per doc — the self-corpus analog of the
+    CCNet wiki-LM perplexity filter: docs whose tokens are corpus-typical
+    score high, gibberish scores low.
+
+    Per token, lf = floor(1000·log2(corpus_freq)) — an INTEGER, identical
+    in both engines (IEEE log2 of an integer, scaled, floored), so the
+    per-doc SUM is order-independent and hash-oracle-able where a float
+    mean would not be. Emits (doc_id, n_tokens, sum_lf); the caller's
+    quality signal is sum_lf/n_tokens. Two narrow shuffles: the freq
+    groupBy and the per-doc sum; the token join shuffles on the token key
+    (the freq side is vocab-sized — broadcastable in practice).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("token"),
+    )
+    freqs = token_freqs(docs, id_col, text_col).withColumn(
+        "lf", F.floor(F.lit(1000.0) * F.log2(F.col("n"))).cast("bigint")
+    )
+    scored = (
+        toks.join(freqs.select("token", "lf"), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lf").alias("sum_lf"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("sum_lf", F.lit(0)).cast("bigint").alias("sum_lf"),
+        )
     )

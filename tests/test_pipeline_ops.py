@@ -150,6 +150,25 @@ def test_stratified_rates_per_stratum(spark):
     assert 1400 < counts["de"] < 1800     # ~80% of 2000
 
 
+def test_vocab_topk_and_lm_score(spark):
+    from polipus_spark.functions.text import lm_quality_score, vocab_topk
+
+    d = _docs(spark, [
+        (1, "the the the cat"),      # 'the' ×3, typical
+        (2, "zq xv qj"),             # gibberish: all freq-1 tokens
+        (3, "the cat"),
+    ])
+    top = [(r["token"], r["n"], r["rank"]) for r in
+           vocab_topk(d, k=2).orderBy("rank").collect()]
+    assert top == [("the", 4, 1), ("cat", 2, 2)]
+
+    scores = {r["doc_id"]: r["sum_lf"] / max(r["n_tokens"], 1)
+              for r in lm_quality_score(d).collect()}
+    # corpus-typical docs outscore gibberish (freq-1 tokens have lf=0)
+    assert scores[2] == 0
+    assert scores[1] > scores[3] > scores[2]
+
+
 # ---------------------------------------------------------------- dedup
 
 
