@@ -71,3 +71,49 @@ def streaming_metrics(events: DataFrame, window: str = "5 minutes",
         .groupBy(F.window("ts", window), F.col("event_type"))
         .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
     )
+
+
+def ingest_documents_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    max_files_per_trigger: int = 4,
+) -> DataFrame:
+    """Streaming ingest of a documents directory: new parquet files are
+    discovered as micro-batches — the continuous-crawl → curation handoff."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+def streaming_dedup_ingest(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Incremental exact dedup on ingest: ``dropDuplicates`` on md5(text)
+    keeps one doc per content hash ACROSS micro-batches (state store holds
+    the seen-hash set; exactly-once via the sink checkpoint). The streaming
+    analog of ``dedup.dedup_exact`` — arriving duplicates of any
+    previously-ingested doc are dropped, so the parquet sink only ever
+    appends novel content. ``availableNow`` drains the backlog then stops.
+    """
+    deduped = (
+        docs_stream.withColumn("_text_md5", F.md5(F.col(text_col)))
+        .dropDuplicates(["_text_md5"])
+        .drop("_text_md5")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -52,3 +52,39 @@ def test_streaming_metrics_window(spark):
         assert {r["event_type"] for r in rows} <= {"fetch", "error"}
     finally:
         q.stop()
+
+
+def test_streaming_dedup_ingest(spark):
+    """Micro-batched ingest dedup: duplicates arriving in LATER batches of
+    a restarted stream are dropped by the checkpointed state — the sink
+    holds one doc per content hash across the whole ingest history."""
+    import os
+
+    from polipus_spark.streaming.waves import (
+        ingest_documents_stream, streaming_dedup_ingest,
+    )
+
+    base = tempfile.mkdtemp()
+    src, out, ckpt = (os.path.join(base, d) for d in ("src", "out", "ckpt"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    batch1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "alpha text")], schema)
+    batch1.write.mode("append").parquet(src)
+    q = streaming_dedup_ingest(
+        ingest_documents_stream(spark, src, schema), out, ckpt)
+    q.awaitTermination(120)
+
+    # duplicate of batch-1 content + one novel doc arrive later; restart
+    spark.createDataFrame(
+        [(4, "alpha text"), (5, "gamma text")], schema
+    ).write.mode("append").parquet(src)
+    q2 = streaming_dedup_ingest(
+        ingest_documents_stream(spark, src, schema), out, ckpt)
+    q2.awaitTermination(120)
+
+    got = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert got == {"alpha text", "beta text", "gamma text"}
+    assert spark.read.parquet(out).count() == 3
