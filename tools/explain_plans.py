@@ -60,6 +60,14 @@ def main() -> None:
         "text_repetition": "Gopher repetition stats: one ProjectExec of pure "
         "Column expressions inside WholeStageCodegen — a map-only pass fused "
         "into the parquet scan.",
+        "dedup_spans": "repeated-span removal: md5 doc-frequency partial agg "
+        "→ left_semi keep → array_sort(collect_list) reassembly — narrow "
+        "hash-key shuffles only.",
+        "text_vocab_topk": "TakeOrderedAndProject (distributed per-partition "
+        "top-k + driver merge) — NOT a single-partition global-sort window.",
+        "text_lm_score": "unigram LM score: token-key join of the exploded "
+        "corpus against the vocab-sized freq table, then one narrow per-doc "
+        "sum; all integer outputs.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
