@@ -9,9 +9,11 @@ Five dedup families over the ``documents`` table, all designed Spark-first:
     candidate pairs. The scale path: candidates ∝ collisions, never O(n²).
   * **n-gram Jaccard** — exact verify on LSH candidates (|A∩B| / |A∪B| via
     explode + groupBy, integer counts only).
-  * **SimHash** — 16-bit sign-aggregated fingerprint; near-dups differ in
-    ≤ k bits (Hamming ball join via pivoted bit costs is left to callers;
-    equality join on simhash catches the common exact-ish case).
+  * **SimHash** — 16-bit sign-aggregated fingerprint (reference parity;
+    equality join catches exact-ish dups) plus a 60-bit variant with a
+    pigeonhole-banded Hamming-ball join (``simhash_near_pairs``).
+  * **span / line dedup** — corpus-wide repeated-window and boilerplate-
+    line removal with ordered reassembly.
   * **embedding cosine** — see similarity.py.
   * **connected components** — hash-min label propagation turning any pair
     set into canonical dedup groups (keeper = min id per component).
