@@ -53,3 +53,25 @@ def test_curate_corpus_optional_stages(spark):
     assert set(stages) == {"input", "repetition", "deduped"}
     # SHORT survives (quality off; "the cat" has 1 distinct bigram of 1)
     assert sorted(r["doc_id"] for r in final.collect()) == [1, 3]
+
+
+def test_corpus_to_training_sequences_e2e(spark):
+    """The full product story on real test data: curate sf0.001 documents
+    (with docs 0-4 as the benchmark), chunk the survivors, pack into
+    256-word sequences — every stage shrinks or preserves rows and the
+    packed output covers every surviving chunk exactly once."""
+    from polipus_spark.functions.packing import pack_sequences, packing_efficiency
+    from polipus_spark.functions.text import chunk_docs
+    from polipus_spark.pipeline import curate_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") < 5)
+    curated, stages = curate_corpus(docs, bench)
+    n_in, n_out = docs.count(), curated.count()
+    assert 0 < n_out < n_in  # benchmark self-hits + near-dups must die
+
+    chunks = chunk_docs(curated, chunk=64, overlap=8)
+    packed = pack_sequences(chunks, budget=256, n_bins=4)
+    assert packed.count() == chunks.count()
+    eff = packing_efficiency(packed, budget=256).collect()[0]
+    assert eff["fill_pct"] >= 50
