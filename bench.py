@@ -169,6 +169,8 @@ def run_queries(spark: SparkSession) -> dict[str, float]:
         "sim_ivf_assign", "events_sessionize", "tpch_q1_style",
         "dedup_simhash_near", "dedup_fuzzy_pipeline", "decontaminate",
         "sample_stratified", "text_chunking", "corpus_stats",
+        "dedup_spans", "text_vocab_topk", "text_lm_score",
+        "sim_quantize_int8",
     ]
     out: dict[str, float] = {}
     for name in headline:
