@@ -391,3 +391,90 @@ def quantize_int8(
         q.alias("q"),
         max_abs.alias("scale"),
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 8,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index: centroids + the corpus partitioned BY LIST.
+
+    ``vectors/`` is written ``partitionBy("centroid_id")`` — the physical
+    layout IS the inverted file. A probe then reads only its lists via
+    Spark's dynamic partition pruning (the broadcast probe side prunes the
+    scan at runtime — see :func:`ivf_topk_indexed`), so query I/O is
+    ~n_probe/K of the corpus instead of a full scan. Build cost: one
+    assignment pass + one shuffled write.
+    """
+    if refine_iters > 0:
+        cents = kmeans_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
+    else:
+        cents = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    cents.select("centroid_id", F.col("_cent").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/centroids")
+    corpus_v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    assign = _assign_to(corpus_v, cents)
+    (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+        .join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    queries: DataFrame,
+    index_dir: str,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a :func:`build_ivf_index` index.
+
+    The query→centroid probe frame is tiny and broadcast; its equi-join
+    with the list-partitioned vectors table triggers dynamic partition
+    pruning — the parquet scan materializes only the probed
+    ``centroid_id=`` directories. Same output contract as
+    :func:`ivf_topk`: (query_id, neighbor_id, rank).
+    """
+    cents = spark.read.parquet(f"{index_dir}/centroids").select(
+        "centroid_id", F.col("centroid").alias("_cent")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    scored = q.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim_c", cosine(F.col("_qv"), F.col("_cent"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim_c").desc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        scored.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", "centroid_id")
+    )
+    vectors = spark.read.parquet(f"{index_dir}/vectors").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        "centroid_id",
+    )
+    cand = (
+        vectors.join(F.broadcast(probe), "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

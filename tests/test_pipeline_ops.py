@@ -445,6 +445,32 @@ def test_quantize_int8_bounds_and_zero(spark):
     assert all(all(-127 <= qi <= 127 for qi in r["q"]) for r in j)
 
 
+def test_ivf_index_dpp_and_equality(spark, tmp_path):
+    """Persisted IVF index: vectors land in centroid_id= list directories,
+    the probe plan carries a dynamic-partition-pruning subquery (the scan
+    reads only probed lists), and full-probe results equal brute force."""
+    import os
+
+    from polipus_spark.functions.similarity import (
+        brute_force_topk, build_ivf_index, ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "ivf")
+    build_ivf_index(emb, d, n_centroids=4)
+    dirs = {e for e in os.listdir(d + "/vectors") if e.startswith("centroid_id=")}
+    assert len(dirs) == 4
+
+    q = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk_indexed(spark, q, d, k=5, n_probe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(q, emb, k=5).collect()}
+    ix = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    assert ix == bf
+
+
 def test_lsh_embedding_buckets_deterministic(spark):
     from polipus_spark.functions.similarity import lsh_bucket_candidates
 
