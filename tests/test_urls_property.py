@@ -39,3 +39,32 @@ def test_canon_absolute_http_keeps_scheme_and_host(host):
     assert out is not None
     assert out.startswith("http://")
     assert host.lower() in out
+
+
+# ----------------------------------------------------- robots pure kernels
+
+import re
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=200))
+def test_parse_robots_never_raises(body):
+    from polipus_spark.functions.robots import parse_robots_text
+
+    rules = parse_robots_text("h.example.com", body)
+    assert isinstance(rules, list)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+               max_size=30))
+def test_wildcard_regex_matches_own_prefix(pattern):
+    """The compiled rule must match any URL path that starts with the
+    pattern (with * consuming anything), and always compile."""
+    from polipus_spark.functions.robots import wildcard_to_regex
+
+    rx = re.compile(wildcard_to_regex(pattern))
+    literal = pattern.replace("*", "x")
+    assert rx.match(literal + "/suffix") or "*" in pattern
+    expanded = pattern.replace("*", "anything/here")
+    assert rx.match(expanded + "?q=1")
