@@ -1,0 +1,92 @@
+"""Cluster entry point for the training-data curation pipeline:
+
+    zip -r polipus_spark.zip polipus_spark/
+    spark-submit --py-files polipus_spark.zip \\
+        --conf spark.sql.adaptive.enabled=true \\
+        --conf spark.sql.shuffle.partitions=<2-4x total cores> \\
+        scripts/curate_corpus.py \\
+        --docs /path/to/documents --out /path/to/curated \\
+        [--benchmark /path/to/eval_set] \\
+        [--lang-rates en=2500,de=7500] [--chunk 64 --pack-budget 256]
+
+Runs quality → repetition → language mixing → decontamination → fuzzy
+dedup (pipeline.curate_corpus), prints the per-stage survivor report,
+writes the curated docs, and optionally chunks + packs them into training
+sequences. Deterministic end to end — re-running on the same input
+produces byte-identical output at any parallelism.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _parse_rates(spec: str | None) -> dict[str, int] | None:
+    if not spec:
+        return None
+    out: dict[str, int] = {}
+    for part in spec.split(","):
+        lang, _, bps = part.partition("=")
+        out[lang.strip()] = int(bps)
+    return out
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--docs", required=True, help="parquet path of documents (doc_id, text)")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--benchmark", default=None, help="parquet path of the eval set to decontaminate against")
+    p.add_argument("--no-quality", action="store_true")
+    p.add_argument("--max-dup-pct", type=int, default=30)
+    p.add_argument("--lang-rates", default=None, help="per-language bps, e.g. en=2500,de=7500")
+    p.add_argument("--default-bps", type=int, default=10_000)
+    p.add_argument("--jaccard-pct", type=int, default=70)
+    p.add_argument("--chunk", type=int, default=None, help="also chunk survivors into N-word windows")
+    p.add_argument("--chunk-overlap", type=int, default=8)
+    p.add_argument("--pack-budget", type=int, default=None, help="pack chunks into sequences of this many words")
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from polipus_spark.pipeline import curate_corpus, curation_report
+
+    spark = SparkSession.builder.appName("curate_corpus").getOrCreate()
+    docs = spark.read.parquet(args.docs)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+
+    curated, stages = curate_corpus(
+        docs, bench,
+        quality=not args.no_quality,
+        max_dup_pct=args.max_dup_pct,
+        lang_rates_bps=_parse_rates(args.lang_rates),
+        default_bps=args.default_bps,
+        jaccard_pct=args.jaccard_pct,
+    )
+    curated = curated.persist()
+    curated.write.mode("overwrite").parquet(f"{args.out}/curated")
+
+    for r in curation_report(stages).orderBy("stage_order").collect():
+        print(f"{r['stage_order']:>2} {r['stage']:<16} {r['n_docs']:>12,}")
+
+    if args.chunk:
+        from polipus_spark.functions.text import chunk_docs
+
+        chunks = chunk_docs(curated, chunk=args.chunk,
+                            overlap=args.chunk_overlap).persist()
+        chunks.write.mode("overwrite").parquet(f"{args.out}/chunks")
+        if args.pack_budget:
+            from polipus_spark.functions.packing import (
+                pack_sequences, packing_efficiency,
+            )
+
+            packed = pack_sequences(chunks, budget=args.pack_budget)
+            packed.write.mode("overwrite").parquet(f"{args.out}/packed")
+            eff = packing_efficiency(packed, budget=args.pack_budget).collect()[0]
+            print(f"packed: {eff['n_sequences']:,} sequences, "
+                  f"{eff['total_words']:,} words, fill {eff['fill_pct']}%")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
