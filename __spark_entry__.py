@@ -590,6 +590,16 @@ def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(_emb(spark, sf_dir), n_centroids=8)
 
 
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF search (deterministic seed centroids, n_probe=2 of 8):
+    probe the two nearest lists only, exact re-rank inside them."""
+    from polipus_spark.functions.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(emb.where(F.col("vec_id") < 8), emb,
+                    n_centroids=8, k=5, n_probe=2)
+
+
 def q_sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment over k-means-refined centroids (3 Lloyd iterations,
     fully distributed: broadcast assign + posexplode/avg update — no driver
@@ -736,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_ivf_assign": q_sim_ivf_assign,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_quantize_int8": q_sim_quantize_int8,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
@@ -1403,6 +1414,41 @@ def oracle_sql() -> dict[str, str]:
                               c.vec_id ASC) AS rank
             FROM embeddings q, embeddings c
             WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          WHERE rank <= 5
+        """,
+        "sim_ivf_topk": """
+          WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cent
+            FROM embeddings ORDER BY vec_id LIMIT 8),
+          assign AS (
+            SELECT vec_id AS neighbor_id, centroid_id FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                                c.centroid_id ASC) AS _rn
+              FROM embeddings e, cents c)
+            WHERE _rn = 1),
+          probe AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.cent) DESC,
+                                c.centroid_id ASC) AS _rn
+              FROM embeddings q, cents c WHERE q.vec_id < 8)
+            WHERE _rn <= 2)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+            SELECT p.query_id, a.neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY p.query_id
+                     ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                              a.neighbor_id ASC) AS rank
+            FROM probe p
+            JOIN assign a ON a.centroid_id = p.centroid_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN embeddings n ON n.vec_id = a.neighbor_id
+            WHERE p.query_id <> a.neighbor_id)
           WHERE rank <= 5
         """,
         "sim_ivf_assign": """
