@@ -9,6 +9,7 @@ first so expensive stages see the fewest rows:
   3. language mixing     (map-only deterministic sample)
   4. decontamination     (broadcast semi-join vs the benchmark)
   5. fuzzy dedup         (exact → LSH → Jaccard → components)
+  6. span dedup          (optional: corpus-wide repeated-window removal)
 
 Every stage is lazy; ``curation_report`` materializes the per-stage
 survivor counts as ONE DataFrame (one job), not a driver loop of counts.
@@ -39,6 +40,7 @@ def curate_corpus(
     default_bps: int = 10_000,
     decontam_ngram: int = 8,
     jaccard_pct: int = 70,
+    span_dedup_words: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
@@ -70,6 +72,12 @@ def curate_corpus(
     d = fuzzy_dedup(d, id_col=id_col, text_col=text_col,
                     jaccard_pct=jaccard_pct)
     stages["deduped"] = d
+    if span_dedup_words:
+        from polipus_spark.functions.dedup import dedup_spans
+
+        d = dedup_spans(d, span_words=span_dedup_words,
+                        id_col=id_col, text_col=text_col)
+        stages["span_deduped"] = d
     return d, stages
 
 

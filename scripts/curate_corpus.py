@@ -41,6 +41,8 @@ def main() -> None:
     p.add_argument("--lang-rates", default=None, help="per-language bps, e.g. en=2500,de=7500")
     p.add_argument("--default-bps", type=int, default=10_000)
     p.add_argument("--jaccard-pct", type=int, default=70)
+    p.add_argument("--span-dedup-words", type=int, default=None,
+                   help="also remove cross-doc repeated N-word spans")
     p.add_argument("--chunk", type=int, default=None, help="also chunk survivors into N-word windows")
     p.add_argument("--chunk-overlap", type=int, default=8)
     p.add_argument("--pack-budget", type=int, default=None, help="pack chunks into sequences of this many words")
@@ -61,6 +63,7 @@ def main() -> None:
         lang_rates_bps=_parse_rates(args.lang_rates),
         default_bps=args.default_bps,
         jaccard_pct=args.jaccard_pct,
+        span_dedup_words=args.span_dedup_words,
     )
     curated = curated.persist()
     curated.write.mode("overwrite").parquet(f"{args.out}/curated")

@@ -75,3 +75,23 @@ def test_corpus_to_training_sequences_e2e(spark):
     assert packed.count() == chunks.count()
     eff = packing_efficiency(packed, budget=256).collect()[0]
     assert eff["fill_pct"] >= 50
+
+
+def test_curate_with_span_dedup_stage(spark):
+    """Optional stage 6: a repeated 10-word span across the two survivors
+    is stripped from both; their unique tails remain."""
+    from polipus_spark.pipeline import curate_corpus
+
+    # two quality-passing docs sharing an exact 10-word prefix
+    prefix = "the alpha beta gamma delta epsilon zeta eta theta iota"
+    a = prefix + " " + "unique tail for the first document with more words here ok"
+    b = prefix + " " + "entirely other ending text for the second one with words too"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id bigint, text string")
+    final, stages = curate_corpus(docs, None, span_dedup_words=10)
+    assert "span_deduped" in stages
+    got = {r["doc_id"]: r["text"] for r in final.collect()}
+    assert len(got) == 2
+    for t in got.values():
+        assert "alpha" not in t          # shared span removed
+        assert len(t.split()) > 0        # unique tail kept
