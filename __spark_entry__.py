@@ -662,6 +662,32 @@ def q_tpch_q3_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-way join OLAP proof (Q5 shape): region filter → nation →
+    customer → orders → lineitem → supplier, with the local-supplier
+    condition (supplier nation == customer nation). Catalyst broadcasts
+    every dimension and reorders the join chain; revenue in exact integer
+    cents. Exercises region/nation/supplier, unused elsewhere."""
+    rg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    na = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    su = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        rg.where(F.col("r_name") == "ASIA")
+        .join(na, rg["r_regionkey"] == na["n_regionkey"])
+        .join(cu, na["n_nationkey"] == cu["c_nationkey"])
+        .join(o, cu["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(su, (li["l_suppkey"] == su["s_suppkey"])
+                  & (su["s_nationkey"] == cu["c_nationkey"]))
+        .groupBy(na["n_name"].alias("n_name"))
+        .agg(F.sum(cents).alias("revenue_cents"))
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata plumbing: opaque refs → typed metadata columns."""
     d = _docs(spark, sf_dir)
@@ -752,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "tpch_q3_style": q_tpch_q3_style,
+        "tpch_q5_style": q_tpch_q5_style,
         "media_metadata": q_media_metadata,
         "events_sessionize": q_events_sessionize,
         "tpch_q1_style": q_tpch_q1_style,
@@ -1480,6 +1507,19 @@ def oracle_sql() -> dict[str, str]:
           JOIN ev a ON a.vec_id = c.id_a
           JOIN ev b ON b.vec_id = c.id_b
           WHERE list_cosine_similarity(a.v, b.v) > 0.5
+        """,
+        "tpch_q5_style": """
+          SELECT n_name,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM region
+          JOIN nation ON r_regionkey = n_regionkey
+          JOIN customer ON n_nationkey = c_nationkey
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          WHERE r_name = 'ASIA'
+          GROUP BY n_name
         """,
         "tpch_q3_style": """
           SELECT o_orderkey,
