@@ -688,6 +688,24 @@ def q_tpch_q5_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q14_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo-revenue share per part type (Q14 shape): lineitem ⨝ broadcast
+    part, conditional partial agg. Integer cents numerator per type +
+    total — the ratio is the caller's division, so the compared columns
+    stay exact integers."""
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = _lineitem(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.join(pa, li["l_partkey"] == pa["p_partkey"])
+        .groupBy(F.col("p_type").alias("p_type"))
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata plumbing: opaque refs → typed metadata columns."""
     d = _docs(spark, sf_dir)
@@ -779,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "tpch_q3_style": q_tpch_q3_style,
         "tpch_q5_style": q_tpch_q5_style,
+        "tpch_q14_style": q_tpch_q14_style,
         "media_metadata": q_media_metadata,
         "events_sessionize": q_events_sessionize,
         "tpch_q1_style": q_tpch_q1_style,
@@ -1507,6 +1526,14 @@ def oracle_sql() -> dict[str, str]:
           JOIN ev a ON a.vec_id = c.id_a
           JOIN ev b ON b.vec_id = c.id_b
           WHERE list_cosine_similarity(a.v, b.v) > 0.5
+        """,
+        "tpch_q14_style": """
+          SELECT p_type,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents,
+                 count(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_type
         """,
         "tpch_q5_style": """
           SELECT n_name,
