@@ -170,7 +170,7 @@ def run_queries(spark: SparkSession) -> dict[str, float]:
         "dedup_simhash_near", "dedup_fuzzy_pipeline", "decontaminate",
         "sample_stratified", "text_chunking", "corpus_stats",
         "dedup_spans", "text_vocab_topk", "text_lm_score",
-        "sim_quantize_int8",
+        "sim_quantize_int8", "sim_ivf_topk", "tpch_q5_style", "tpch_q14_style",
     ]
     out: dict[str, float] = {}
     for name in headline:

@@ -68,6 +68,9 @@ def main() -> None:
         "text_lm_score": "unigram LM score: token-key join of the exploded "
         "corpus against the vocab-sized freq table, then one narrow per-doc "
         "sum; all integer outputs.",
+        "tpch_q5_style": "six-way star join: ALL five joins BroadcastHashJoin "
+        "— lineitem streams once through the broadcast chain, zero shuffle "
+        "joins, dims reordered by Catalyst.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
