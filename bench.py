@@ -13,8 +13,17 @@ rule: N → 4N cluster) is gathered by running the identical job at
 ``local[8]`` and ``local[32]`` on identical input and reporting throughput
 at both plus efficiency = (thr_hi / thr_lo) / (cores_hi / cores_lo).
 
+**The default invocation is budgeted** (r2 lesson: the exhaustive default
+timed out under the driver — rc 124, zero driver-verified numbers). A
+wall-clock budget (BENCH_BUDGET_SEC, default 840 s) gates every optional
+leg; whatever happens, ONE parseable JSON line is printed, with a
+"skipped" list naming anything the budget dropped. The Bloom/budgeted
+hot-path variants are opt-IN via BENCH_VARIANTS=1 (they were the r2
+default and cost ~15 subprocess JVM legs).
+
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-SPARK_GRAFT_CPUS (default 32), BENCH_FRONTIER_URLS (default 2_000_000),
+SPARK_GRAFT_CPUS (default 32), BENCH_FRONTIER_URLS (default 16_000_000),
+BENCH_BUDGET_SEC (default 840), BENCH_VARIANTS=1 to add the variant legs,
 BENCH_SKIP_SCALING=1 to skip the two-level run.
 """
 
@@ -157,23 +166,31 @@ def frontier_schedule_dedup(
     return n, time.time() - t0
 
 
-def run_queries(spark: SparkSession) -> dict[str, float]:
-    """Headline per-operator timings at SF_DIR (force with .count())."""
+def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[str, float]:
+    """Headline per-operator timings at SF_DIR (force with .count()).
+
+    ``stop_after``: wall-clock seconds (from bench start) after which the
+    remaining queries are skipped — the frontier legs own the budget; a
+    truncated query list is reported as ``skipped:q:<name>`` entries."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     headline = [
-        "o1_frontier_pop", "j4_exact_tracker", "x2_link_extract",
-        "text_quality", "text_fingerprint", "dedup_exact", "dedup_simhash",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "sim_bruteforce_topk",
-        "sim_ivf_assign", "events_sessionize", "tpch_q1_style",
-        "dedup_simhash_near", "dedup_fuzzy_pipeline", "decontaminate",
-        "sample_stratified", "text_chunking", "corpus_stats",
+        "o1_frontier_pop", "o3_hot_window", "j4_exact_tracker",
+        "x2_link_extract", "text_quality", "text_fingerprint", "dedup_exact",
+        "dedup_simhash", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "sim_bruteforce_topk", "sim_ivf_assign", "events_sessionize",
+        "tpch_q1_style", "dedup_simhash_near", "dedup_fuzzy_pipeline",
+        "decontaminate", "sample_stratified", "text_chunking", "corpus_stats",
         "dedup_spans", "text_vocab_topk", "text_lm_score",
         "sim_quantize_int8", "sim_ivf_topk", "tpch_q5_style", "tpch_q14_style",
+        "pack_sequences", "sim_ivf_kmeans", "media_decode_stats",
     ]
     out: dict[str, float] = {}
-    for name in headline:
+    for i, name in enumerate(headline):
+        if stop_after is not None and time.time() - T_START > stop_after:
+            out.update({f"skipped:{n}": -1.0 for n in headline[i:]})
+            break
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         out[name] = round(time.time() - t0, 3)
@@ -231,21 +248,41 @@ def timed_frontier_run(cores: int, n_urls: int, reps: int = 3,
     raise RuntimeError(f"frontier subprocess failed: {out.stderr[-2000:]}")
 
 
+T_START = time.time()
+BUDGET = float(os.environ.get("BENCH_BUDGET_SEC", "840"))
+
+
+def _left() -> float:
+    return BUDGET - (time.time() - T_START)
+
+
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result: dict = {"metric": "frontier_urls_scheduled_deduped_per_sec",
-                    "unit": "sec", "sf": float(sf) if sf else None}
+                    "unit": "sec", "sf": float(sf) if sf else None,
+                    "skipped": []}
+    try:
+        _main_legs(result)
+    except Exception as e:  # noqa: BLE001 — the JSON line must always print
+        result["error"] = f"{type(e).__name__}: {e}"[:500]
+    if not result["skipped"]:
+        del result["skipped"]
+    print(json.dumps(result))
 
-    # parent session: fixture prep + per-operator timings (first JVM session)
+
+def _main_legs(result: dict) -> None:
+    # parent session: fixture prep + per-operator timings (first JVM session).
+    # Queries are budget-guarded: the frontier legs below are the headline
+    # evidence, so query breadth yields first (anything cut is named).
     spark = build(CPUS)
     prepare_fixture(N_FRONTIER, spark)
-    result["queries"] = run_queries(spark)
+    result["queries"] = run_queries(spark, stop_after=min(280.0, BUDGET / 3))
     spark.stop()
 
     # scaling levels: one FRESH subprocess (fresh JVM) per parallelism level.
-    # reps=5 for the headline: hypervisor interference windows on this box
-    # can span 3 consecutive passes; 5 reliably catches a quiet one.
-    n_hi, t_hi = timed_frontier_run(CPUS, N_FRONTIER, reps=5)
+    # reps=4 for the headline: hypervisor interference windows on this box
+    # can double a pass; min-of-4 reliably catches a quiet one.
+    n_hi, t_hi = timed_frontier_run(CPUS, N_FRONTIER, reps=4)
     thr_hi = N_FRONTIER / t_hi
     result["value"] = round(thr_hi, 1)
     result["frontier_urls"] = N_FRONTIER
@@ -253,7 +290,8 @@ def main() -> None:
     result["elapsed_sec"] = round(t_hi, 3)
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
-        _, t_s_hi = timed_frontier_run(CORES_HI, N_FRONTIER, reps=6)
+        # rough leg costs: hi ≈ warm+3 short passes, lo ≈ warm+2 long passes
+        _, t_s_hi = timed_frontier_run(CORES_HI, N_FRONTIER, reps=3)
         _, t_s_lo = timed_frontier_run(CORES_LO, N_FRONTIER, reps=2)
         thr_s_hi, thr_s_lo = N_FRONTIER / t_s_hi, N_FRONTIER / t_s_lo
         result["scaling"] = {
@@ -264,15 +302,18 @@ def main() -> None:
         }
 
     # hot-path variants: Bloom-probe dedup (the cogroup/applyInPandas numpy
-    # path) and per-host-budget politeness pop — each with its own 1→4
-    # scaling pair on the identical fixture
-    if os.environ.get("BENCH_SKIP_VARIANTS") != "1":
+    # path) and per-host-budget politeness pop — opt-IN (r2: these legs blew
+    # the driver budget as defaults), each budget-checked
+    if os.environ.get("BENCH_VARIANTS") == "1":
         result["variants"] = {}
         for variant in ("bloom", "budgeted"):
+            if _left() < 180:
+                result["skipped"].append(f"variant:{variant}")
+                continue
             _, t_v = timed_frontier_run(CPUS, N_FRONTIER, reps=3, variant=variant)
             entry = {"throughput_full": round(N_FRONTIER / t_v, 1),
                      "elapsed_sec": round(t_v, 3)}
-            if os.environ.get("BENCH_SKIP_SCALING") != "1":
+            if os.environ.get("BENCH_SKIP_SCALING") != "1" and _left() > 500:
                 _, tv_hi = timed_frontier_run(CORES_HI, N_FRONTIER, reps=3,
                                               variant=variant)
                 _, tv_lo = timed_frontier_run(CORES_LO, N_FRONTIER, reps=2,
@@ -284,8 +325,6 @@ def main() -> None:
                     "efficiency": round((thv_hi / thv_lo) / (CORES_HI / CORES_LO), 3),
                 }
             result["variants"][variant] = entry
-
-    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -73,8 +73,16 @@ def pack_sequences(
             "n_words": pdf["n_words"].astype("int32"),
         })
 
+    # bin = md5-derived hash of doc_id (NOT xxhash64): deterministic in any
+    # engine, so the DuckDB oracle can replay the identical bin assignment
+    # (r3: pack_sequences graduated from rows-only to hash-oracled).
+    bin_hash = F.pmod(
+        F.conv(F.substring(F.md5(F.col(doc_col).cast("string")), 1, 7), 16, 10)
+        .cast("bigint"),
+        F.lit(n_bins),
+    )
     binned = chunks.select(
-        F.pmod(F.xxhash64(F.col(doc_col)), F.lit(n_bins)).cast("int").alias("bin"),
+        bin_hash.cast("int").alias("bin"),
         F.col(doc_col).cast("long").alias("doc_id"),
         F.col(chunk_col).cast("int").alias("chunk_id"),
         F.col(len_col).cast("int").alias("n_words"),

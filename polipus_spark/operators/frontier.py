@@ -29,6 +29,7 @@ from polipus_spark.catalog import SnapshotCatalog, SnapshotTable
 from polipus_spark.config import CrawlOptions
 from polipus_spark.functions.urls import bucket_of, host_salt, strip_query, url_host, url_uuid
 from polipus_spark.operators.seq import with_global_seq
+from polipus_spark.operators.topk import exact_top_k
 
 # Oracle FIFO order (SURVEY O1): priority first (constant 0 by default ⇒ pure
 # FIFO), then BFS depth, then enqueue wave, then deterministic seq.
@@ -107,10 +108,12 @@ class Frontier:
             f = f.join(s, f["seq"] == s["_s_seq"], "left_anti")
         if self.opts.queue_overflow_capped_max is not None:
             # O4 drop-oldest: keep only the newest `max` rows — older ones are
-            # permanently dropped (capped collection semantics).
-            f = (
-                f.orderBy(F.col("seq").desc())
-                .limit(self.opts.queue_overflow_capped_max)
+            # permanently dropped (capped collection semantics). Newest-first
+            # = ascending (-seq); exact_top_k keeps the merge task at ~max
+            # rows instead of partitions×max (TakeOrderedAndProject).
+            f = exact_top_k(
+                f, [(-F.col("seq")).alias("_negseq")],
+                self.opts.queue_overflow_capped_max,
             )
         return f
 
@@ -157,7 +160,11 @@ class Frontier:
         pend = self.pending()
         limit = self.opts.queue_items_limit
         if limit is not None:
-            pend = pend.orderBy(*[F.col(c) for c in ORDER_COLS]).limit(limit)
+            # O3 hot window = exact global top-`limit` in FIFO order. At the
+            # reference default (2M) a plain sort-limit would funnel
+            # partitions×2M rows through one merge task; exact_top_k's
+            # threshold selection keeps that merge at ~limit rows.
+            pend = exact_top_k(pend, list(ORDER_COLS), limit)
 
         if budgets is not None or default_budget is not None:
             w = Window.partitionBy("host_salt").orderBy(*[F.col(c) for c in ORDER_COLS])

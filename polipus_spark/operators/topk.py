@@ -1,0 +1,95 @@
+"""Exact distributed top-k without a single-task partitions×k merge.
+
+Spark's ``orderBy(...).limit(k)`` plans as TakeOrderedAndProject: every
+partition keeps its local top-k, then ONE task merges partitions×k rows.
+At the reference's ``queue_items_limit`` default of 2,000,000
+(lib/polipus.rb:60) and a 10^10-URL frontier split over thousands of
+partitions, that final task would merge billions of rows — the one
+scale-killer VERDICT r2 flagged (frontier O3/O4 caps).
+
+:func:`exact_top_k` replaces it with threshold selection, the same shape a
+range-partitioner uses:
+
+  1. count n (map-only columnar count);
+  2. deterministic hash-sample ~``sample_target`` keys (``xxhash64 % d`` —
+     a pure function of the DATA, so the sample is identical at any
+     parallelism), collect, sort locally, pick a conservative estimate T of
+     the k-th smallest key;
+  3. count m = rows with key ≤ T (map-only filter); escalate T if m < k
+     (the sample bound makes this geometrically unlikely per round);
+  4. ``filter(key ≤ T).orderBy(key).limit(k)`` — the merge task now sees
+     ~k·(1+ε) rows instead of partitions×k.
+
+Every pass is a scan + map-side filter; the only shuffle is the final
+sort over ~k rows. The result is EXACT and deterministic: keys are unique
+(callers must include a unique tiebreak column, e.g. ``seq``), so the
+top-k set is a pure function of the data regardless of T.
+
+For small k the constant factors don't pay for three scans, so a size
+gate (like fetch.py's broadcast gate) falls back to the plain sort-limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Below this k, TakeOrderedAndProject's partitions×k merge is harmless and
+# cheaper than three scans.
+SORT_LIMIT_GATE = 50_000
+
+
+def exact_top_k(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    k: int,
+    sort_limit_gate: int = SORT_LIMIT_GATE,
+    sample_target: int = 100_000,
+    margin: float = 1.05,
+    force_two_phase: bool = False,
+) -> DataFrame:
+    """Smallest ``k`` rows of ``df`` by ascending ``order_cols`` (exact).
+
+    ``order_cols`` must form a total order (include a unique tiebreak such
+    as ``seq``; for descending order pass the negated column). All input
+    columns are preserved; internal ``_tk*`` key columns are dropped.
+    """
+    if k <= 0:
+        return df.limit(0)
+    keys = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    knames = [f"_tk{i}" for i in range(len(keys))]
+    if not force_two_phase and k <= sort_limit_gate:
+        return df.orderBy(*keys).limit(k)
+
+    keyed = df.select("*", *[c.alias(n) for n, c in zip(knames, keys)])
+    kstruct = F.struct(*[F.col(n) for n in knames])
+    ktypes = [keyed.schema[n].dataType for n in knames]
+    n = keyed.count()
+    if n <= k:
+        return keyed.drop(*knames)
+
+    # deterministic sample of key tuples (pure function of the data)
+    d = max(1, n // sample_target)
+    sample = (
+        keyed.where(F.pmod(F.xxhash64(*[F.col(c) for c in knames]), F.lit(d)) == 0)
+        .select(*knames)
+        .collect()
+    )
+    sample.sort(key=lambda r: tuple(r))
+    # expected sample index of the k-th key is k·len/n; pad with a relative
+    # margin plus an absolute slack for small samples
+    idx = int(k * len(sample) / n * margin) + 64 if sample else 0
+    for _ in range(3):
+        if not sample or idx >= len(sample):
+            return keyed.drop(*knames).orderBy(*keys).limit(k)  # sample exhausted
+        t = sample[idx]
+        # literal struct must match the key struct's field types exactly
+        tlit = F.struct(*[
+            F.lit(v).cast(ty).alias(n)
+            for v, ty, n in zip(tuple(t), ktypes, knames)
+        ])
+        cand = keyed.where(kstruct <= tlit)
+        if cand.count() >= k:
+            return cand.orderBy(*keys).limit(k).drop(*knames)
+        idx = idx * 2 + 64  # threshold too tight (sample skew) — escalate
+    return keyed.drop(*knames).orderBy(*keys).limit(k)

@@ -32,8 +32,16 @@ def norm_val(v):
         return f"{v:.6g}"
     if isinstance(v, (datetime.datetime, datetime.date)):
         return str(v)
-    if isinstance(v, list):
-        return tuple(norm_val(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        # The DRIVER canonicalizes with pandas sort_values, which cannot
+        # factorize list cells (r2: sim_quantize_int8 passed here while
+        # failing the driver with "unhashable type: 'list'"). Mirror the
+        # driver: array-typed output columns are a hard error — emit scalar
+        # rows (posexplode / to_json) instead.
+        raise TypeError(
+            "array-typed result cell — driver-incompatible; scalarize the "
+            "query output (posexplode or to_json)"
+        )
     return v
 
 
@@ -81,7 +89,12 @@ def main():
         ok_count = len(srows) == len(drows)
         ok_vals = False
         if ok_schema and ok_count:
-            ok_vals = normalize(srows, scols) == normalize(drows, dcols)
+            try:
+                ok_vals = normalize(srows, scols) == normalize(drows, dcols)
+            except TypeError as e:
+                failures.append(name)
+                print(f"  {name:28s} CANON ERROR (driver-incompatible): {e}")
+                continue
         status = "OK" if (ok_schema and ok_count and ok_vals) else "MISMATCH"
         if status != "OK":
             failures.append(name)
