@@ -580,6 +580,39 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_spans(_docs(spark, sf_dir), span_words=10, max_doc_freq=1)
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level boilerplate removal: inject a shared nav
+    header (every doc) and a 2-variant footer (half the docs each) around
+    each doc's text, then drop every newline-delimited line whose md5
+    appears in >1 distinct docs — the injected boilerplate vanishes, the
+    unique body survives."""
+    from polipus_spark.functions.dedup import dedup_lines
+
+    d = _docs(spark, sf_dir)
+    t2 = F.concat(F.lit("shared nav header\n"), F.col("text"),
+                  F.lit("\nfooter variant "), (F.col("doc_id") % 2).cast("string"))
+    return dedup_lines(d.select("doc_id", t2.alias("text")), max_doc_freq=1)
+
+
+def q_sim_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF search: build_ivf_index writes the corpus
+    partitionBy(centroid_id) — the physical layout IS the inverted file —
+    then the probe's broadcast equi-join dynamically prunes the parquet
+    scan to the n_probe probed lists (asserted in tests/test_pipeline_ops).
+    Same params as sim_ivf_topk, and the oracle is LITERALLY the same SQL:
+    the indexed path must return identical results to the in-memory path
+    while reading ~n_probe/K of the data."""
+    import tempfile
+
+    from polipus_spark.functions.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = _emb(spark, sf_dir)
+    idx = tempfile.mkdtemp(prefix="polipus_ivf_entry_")
+    build_ivf_index(emb, idx, n_centroids=8)
+    return ivf_topk_indexed(spark, emb.where(F.col("vec_id") < 8), idx,
+                            k=5, n_probe=2)
+
+
 def q_dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup (exact → LSH → Jaccard≥70% → components →
     min-id keep): the survivors' ids. The oracle chains the identical five
@@ -807,6 +840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # materialized as a VALUES list (deterministic corpus + options)
         "crawl_e2e_pages": q_crawl_e2e_pages,
         "media_decode_stats": q_media_decode_stats,
+        "dedup_lines": q_dedup_lines,
+        "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         # --- stable since r2 ---
         "x4_uuid": q_x4_uuid,
         "x1_canon_cols": q_x1_canon_cols,
@@ -1096,7 +1131,7 @@ def oracle_sql() -> dict[str, str]:
     )
     lsh_cte = _minhash_banded_sql()
 
-    return {
+    out = {
         "x4_uuid": f"""
           WITH u AS ({_DERIVED_URLS_SQL})
           SELECT doc_id, md5(url) AS uuid,
@@ -1747,5 +1782,29 @@ def oracle_sql() -> dict[str, str]:
           WHERE l_shipdate <= DATE '1998-09-02'
           GROUP BY l_returnflag, l_linestatus
         """,
+        "dedup_lines": """
+          WITH lines AS (
+            SELECT doc_id, unnest(ls) AS unit,
+                   unnest(range(1, len(ls) + 1)) AS pos
+            FROM (SELECT doc_id,
+                         string_split('shared nav header' || chr(10) || text
+                           || chr(10) || 'footer variant '
+                           || CAST(doc_id % 2 AS VARCHAR), chr(10)) AS ls
+                  FROM documents)),
+          u AS (SELECT doc_id, pos, unit FROM lines WHERE trim(unit) <> ''),
+          rare AS (
+            SELECT md5(unit) AS h FROM u
+            GROUP BY 1 HAVING count(DISTINCT doc_id) <= 1),
+          rebuilt AS (
+            SELECT doc_id, string_agg(unit, chr(10) ORDER BY pos) AS text
+            FROM u WHERE md5(unit) IN (SELECT h FROM rare)
+            GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(r.text, '') AS text
+          FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
         "crawl_e2e_pages": _crawl_e2e_oracle_sql(),
     }
+    # the persisted DPP-pruned index path must return IDENTICAL results to
+    # the in-memory IVF search — one oracle serves both entries
+    out["sim_ivf_topk_indexed"] = out["sim_ivf_topk"]
+    return out

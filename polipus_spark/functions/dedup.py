@@ -243,6 +243,7 @@ def connected_components(
         .select("node", F.col("node").alias("component"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         msgs = edges.join(
             labels, edges["src"] == labels["node"]
@@ -262,8 +263,21 @@ def connected_components(
         )
         labels = new
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # r2 ADVICE: silent partial propagation would make downstream dedup
+        # keep extra duplicates with no signal — surface it.
+        import warnings
+
+        warnings.warn(
+            f"connected_components: fixpoint not reached within max_iter="
+            f"{max_iter} (adversarial long-chain graph?); labels may be "
+            "under-merged — raise max_iter or switch to large-star/small-star",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -413,6 +427,7 @@ def simhash_near_pairs(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    persisted: list | None = None,
 ) -> DataFrame:
     """Pairs within Hamming distance ``k`` of each other's 60-bit SimHash.
 
@@ -432,7 +447,14 @@ def simhash_near_pairs(
         widths[i] += 1
     shifts = [sum(widths[:i]) for i in range(n_bands)]
 
+    # The signature frame feeds both sides of the self-join; persist it so
+    # the 60-bit agg runs once. ``persisted`` follows the fetch_wave
+    # pattern: pass a list to receive the handle and unpersist after
+    # materializing the result (r2 ADVICE: without it, repeated calls in a
+    # long-lived session accumulate cached RDDs until storage eviction).
     s = simhash60_agg(docs, id_col, text_col).persist()
+    if persisted is not None:
+        persisted.append(s)
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

@@ -257,6 +257,7 @@ def near_dup_pairs(
     n_bands: int = 16,
     bits_per_band: int = 8,
     dim: int = 64,
+    use_lsh_prefilter: bool | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine > threshold).
 
@@ -271,7 +272,23 @@ def near_dup_pairs(
     gives ~0.84 recall at cosine 0.5 (what the oracle entry uses).
 
     ``exact=True`` = full O(n²) self-join with a JVM-side cosine — the
-    correctness baseline / oracle mode only, never the scale path."""
+    correctness baseline / oracle mode only, never the scale path.
+
+    .. deprecated:: r2 renamed ``use_lsh_prefilter`` (old default False =
+       exact) to ``exact`` AND flipped the default to the LSH path. Passing
+       the old keyword still works but warns, so stale call sites surface
+       loudly instead of silently changing semantics (r2 ADVICE)."""
+    if use_lsh_prefilter is not None:
+        import warnings
+
+        warnings.warn(
+            "near_dup_pairs(use_lsh_prefilter=...) is deprecated — pass "
+            "exact=<bool> instead (note: the DEFAULT also changed from the "
+            "exact O(n²) scan to the banded-LSH prefilter)",
+            DeprecationWarning,
+            stacklevel=2,
+        )
+        exact = not use_lsh_prefilter
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if exact:

@@ -75,8 +75,17 @@ def curate_corpus(
     if span_dedup_words:
         from polipus_spark.functions.dedup import dedup_spans
 
-        d = dedup_spans(d, span_words=span_dedup_words,
-                        id_col=id_col, text_col=text_col)
+        # dedup_spans returns only (doc_id, text); re-join to the surviving
+        # docs so the stage replaces text_col but preserves every other
+        # column, like every other stage (r2 ADVICE: enabling span dedup
+        # used to silently narrow the output schema).
+        sd = dedup_spans(d, span_words=span_dedup_words,
+                         id_col=id_col, text_col=text_col)
+        d = d.drop(text_col).join(
+            sd.select(F.col("doc_id").alias(id_col),
+                      F.col("text").alias(text_col)),
+            id_col,
+        )
         stages["span_deduped"] = d
     return d, stages
 

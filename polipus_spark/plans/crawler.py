@@ -117,6 +117,32 @@ class PolipusCrawler:
                 out = ret
         return out
 
+    def _run_frame_hook(
+        self, method: str, frame: DataFrame, persisted: bool = False
+    ) -> DataFrame:
+        """Run a dataflow-rewriting plugin hook with the replacement
+        contract enforced (r2 ADVICE): a replacement frame must preserve
+        every column of the input (the wave pipeline reads internal ``_``
+        columns and ORDER_COLS after the hook — plugins may add columns,
+        never drop), and when the input handle was persisted the ORIGINAL
+        cache is released and the replacement persisted in its place
+        (previously the original leaked and the end-of-wave unpersist hit
+        the replacement instead)."""
+        from polipus_spark.plugin import PluginContractError
+
+        out = self._execute_plugin(method, frame)
+        if out is frame:
+            return frame
+        missing = [c for c in frame.columns if c not in out.columns]
+        if missing:
+            raise PluginContractError(
+                f"{method} plugin replacement dropped required columns: {missing}"
+            )
+        if persisted:
+            frame.unpersist()
+            out = out.persist()
+        return out
+
     def _make_tracker(self):
         o = self.opts
         kw = {}
@@ -295,7 +321,7 @@ class PolipusCrawler:
             return m
 
         # plugin hook: message batch received (lib/polipus.rb:182)
-        popped = self._execute_plugin("on_message_received", popped)
+        popped = self._run_frame_hook("on_message_received", popped, persisted=True)
 
         # F7 dequeue-time revalidation (tracker-less, lib/polipus.rb:186-190)
         valid = self._policy_filter(popped, "url")
@@ -335,7 +361,7 @@ class PolipusCrawler:
         n_valid = int(pre["n"]) - dedup_hits
         valid_live = valid.where(~F.col("_exists")).drop("_exists")
         # plugin hook: about to fetch (lib/polipus.rb:201)
-        valid_live = self._execute_plugin("on_before_download", valid_live)
+        valid_live = self._run_frame_hook("on_before_download", valid_live)
 
         # S4/J5 fetch + redirects
         hop_frames: list = []
@@ -384,7 +410,7 @@ class PolipusCrawler:
         )
         fetched = fetched.withColumn("_rn", F.row_number().over(w_dup))
         # plugin hook: downloaded + redirect-resolved (lib/polipus.rb:218)
-        fetched = self._execute_plugin("on_after_download", fetched)
+        fetched = self._run_frame_hook("on_after_download", fetched)
 
         live = ~F.col("_exists2") & ((F.col("_rn") == 1) | F.col("is_seed"))
         samewave_dup = ~F.col("_exists2") & (F.col("_rn") > 1) & ~F.col("is_seed")

@@ -32,6 +32,13 @@ from __future__ import annotations
 from typing import Any
 
 
+class PluginContractError(RuntimeError):
+    """A dataflow-rewriting hook returned a frame that violates the wave
+    contract (dropped internal columns). Deliberately NOT a ValueError:
+    the wave loop treats ValueError as 'frontier never seeded' and would
+    silently end the session instead of surfacing the broken plugin."""
+
+
 class PluginRegistry:
     """Global named-plugin registry (plugin.rb:4-14 ``@@plugins``)."""
 

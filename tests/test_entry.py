@@ -19,10 +19,10 @@ def test_queries_have_oracles():
     missing = set(os_) - set(qs)
     assert not missing, f"oracles without queries: {missing}"
     rows_only = set(qs) - set(os_)
-    # the ONLY entries allowed to be rows-only (iterative float refinement /
-    # greedy per-row recurrence — not SQL-expressible); everything else
-    # must be hash-oracled
-    assert rows_only == {"sim_ivf_kmeans", "pack_sequences"}
+    # r3: zero rows-only entries — sim_ivf_kmeans (unrolled-Lloyd SQL) and
+    # pack_sequences (recursive-CTE greedy replay) both graduated to
+    # hash-oracled; any new rows-only entry must be argued here explicitly
+    assert rows_only == set()
 
 
 def test_entry_smoke(spark):

@@ -114,6 +114,28 @@ def test_before_download_can_rewrite_the_wave(spark, work_dir):
     assert len(c.crawl_order()) > 1
 
 
+class ColumnDroppingPlugin:
+    """Violates the replacement contract: drops an internal column."""
+
+    def on_before_download(self, crawler, df):
+        return df.drop("uuid")
+
+
+def test_frame_replacement_must_preserve_columns(spark, work_dir):
+    """r2 ADVICE: a hook replacement that drops wave columns must fail
+    LOUDLY (PluginContractError), not silently end the session — the wave
+    loop's ValueError handling means a plain ValueError would be eaten as
+    'frontier never seeded'."""
+    from polipus_spark.plugin import PluginContractError
+
+    register(ColumnDroppingPlugin)
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=4, with_redirect_chain=False)
+    opts = CrawlOptions(depth_limit=1, max_waves=3)
+    c = PolipusCrawler(spark, corpus_df(spark, docs), opts, work_dir)
+    with pytest.raises(PluginContractError, match="uuid"):
+        c.takeover(SEEDS)
+
+
 def test_sleeper_forces_per_host_budget(spark, work_dir):
     register(Sleeper, delay=30)  # 60s wave / 30s delay = 2 fetches/host/wave
     docs = gen_corpus(n_hosts=2, max_docs_per_host=6, with_redirect_chain=False)

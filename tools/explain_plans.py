@@ -39,6 +39,13 @@ def main() -> None:
     picks = {
         "o1_frontier_pop": "salted window-rank pop: ONE exchange on the salt "
         "key, sort within partitions, rank filter — no global sort.",
+        "o3_hot_window": "hot-window cap (O3) via exact_top_k threshold "
+        "selection: a map-side struct-key Filter cuts the frame to ~k "
+        "candidate rows BEFORE the final TakeOrderedAndProject, so the "
+        "single merge task sees ~k rows — not partitions×k of the whole "
+        "frontier (the r2 scale-killer at the 2M reference cap). The "
+        "threshold comes from two map-only passes (count + deterministic "
+        "hash sample); same path serves O4 on descending seq.",
         "j4_exact_tracker": "exact URL-seen: anti-join; AQE may turn it into "
         "a broadcast hash join when the seen side is small.",
         "dedup_minhash_lsh": "MinHash via explode+groupBy: partial (map-side) "
