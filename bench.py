@@ -290,16 +290,29 @@ def _main_legs(result: dict) -> None:
     result["elapsed_sec"] = round(t_hi, 3)
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
-        # rough leg costs: hi ≈ warm+3 short passes, lo ≈ warm+2 long passes
-        _, t_s_hi = timed_frontier_run(CORES_HI, N_FRONTIER, reps=3)
-        _, t_s_lo = timed_frontier_run(CORES_LO, N_FRONTIER, reps=2)
-        thr_s_hi, thr_s_lo = N_FRONTIER / t_s_hi, N_FRONTIER / t_s_lo
-        result["scaling"] = {
-            "cores_lo": CORES_LO, "throughput_lo": round(thr_s_lo, 1),
-            "cores_hi": CORES_HI, "throughput_hi": round(thr_s_hi, 1),
-            "efficiency": round((thr_s_hi / thr_s_lo) / (CORES_HI / CORES_LO), 3),
-            "full_cores": CPUS, "throughput_full": round(thr_hi, 1),
-        }
+        # The 1-core leg is the expensive one (~3×100 s at 16M URLs) — run
+        # it first while the budget is freshest; each leg is skipped (and
+        # named in "skipped") only if the remaining budget cannot cover its
+        # estimated cost, so the driver invocation always parses.
+        scale = N_FRONTIER / 16_000_000
+        est_lo, est_hi = 25 + 3 * 100 * scale, 25 + 4 * 23 * scale
+        t_s_lo = t_s_hi = None
+        if _left() > est_lo * 1.1:
+            _, t_s_lo = timed_frontier_run(CORES_LO, N_FRONTIER, reps=2)
+        else:
+            result["skipped"].append(f"scaling:{CORES_LO}c")
+        if _left() > est_hi * 1.1:
+            _, t_s_hi = timed_frontier_run(CORES_HI, N_FRONTIER, reps=3)
+        else:
+            result["skipped"].append(f"scaling:{CORES_HI}c")
+        if t_s_lo and t_s_hi:
+            thr_s_hi, thr_s_lo = N_FRONTIER / t_s_hi, N_FRONTIER / t_s_lo
+            result["scaling"] = {
+                "cores_lo": CORES_LO, "throughput_lo": round(thr_s_lo, 1),
+                "cores_hi": CORES_HI, "throughput_hi": round(thr_s_hi, 1),
+                "efficiency": round((thr_s_hi / thr_s_lo) / (CORES_HI / CORES_LO), 3),
+                "full_cores": CPUS, "throughput_full": round(thr_hi, 1),
+            }
 
     # hot-path variants: Bloom-probe dedup (the cogroup/applyInPandas numpy
     # path) and per-host-budget politeness pop — opt-IN (r2: these legs blew
