@@ -166,6 +166,13 @@ def frontier_schedule_dedup(
     return n, time.time() - t0
 
 
+def _log(msg: str) -> None:
+    """Progress trail on stderr (the driver's captured tail) with the
+    wall-clock offset — post-mortems of a timed-out run need to know WHERE
+    the time went (r3 lesson: the first budgeted run overran silently)."""
+    print(f"[bench +{time.time() - T_START:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
 def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[str, float]:
     """Headline per-operator timings at SF_DIR (force with .count()).
 
@@ -194,7 +201,32 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         t0 = time.time()
         qs[name](spark, SF_DIR).count()
         out[name] = round(time.time() - t0, 3)
+        _log(f"query {name}: {out[name]}s")
     return out
+
+
+def _shutdown_jvm(spark: SparkSession) -> None:
+    """Stop the session AND kill the py4j gateway JVM.
+
+    ``spark.stop()`` leaves the JVM process alive (it belongs to the
+    gateway, not the session); a 12 GiB heap doing idle GC at 40-70% CPU
+    right next to the timed subprocess legs poisoned the r3 scaling runs
+    (observed 1-core passes 140 s+ vs ~100 s clean). The parent process
+    never touches Spark again, so hard-stop the gateway."""
+    from pyspark import SparkContext
+
+    gw = SparkContext._gateway
+    spark.stop()
+    try:
+        if gw is not None:
+            gw.shutdown()
+            proc = getattr(gw, "proc", None)
+            if proc is not None:
+                proc.terminate()
+    except Exception:  # noqa: BLE001 — best-effort; legs run regardless
+        pass
+    SparkContext._gateway = None
+    SparkContext._jvm = None
 
 
 def build(cores: int) -> SparkSession:
@@ -220,30 +252,43 @@ def _frontier_run_inprocess(cores: int, n_urls: int, reps: int = 4,
         for i in range(reps):
             n, t = frontier_schedule_dedup(spark, base, tag=i, variant=variant)
             times.append(t)
+        print("FRONTIER_PASSES", " ".join(f"{t:.2f}" for t in times),
+              file=sys.stderr, flush=True)
         return n, min(times)
     finally:
         spark.stop()
 
 
 def timed_frontier_run(cores: int, n_urls: int, reps: int = 3,
-                       variant: str = "exact") -> tuple[int, float]:
+                       variant: str = "exact",
+                       timeout_s: float | None = None) -> tuple[int, float]:
     """Run one parallelism level in its OWN subprocess (fresh JVM).
 
     SparkSession.stop() does not tear down the py4j JVM; a second session in
     the same process inherits a polluted JVM and measurably degrades
     (observed 3-9× anti-scaling). A subprocess per level is also what the
     real protocol does — one spark-submit per cluster size.
+
+    ``timeout_s`` caps the leg: estimates gate whether a leg STARTS, this
+    bounds how long it can RUN (a slow-hypervisor window can triple a
+    pass) — on expiry the subprocess dies and the caller records the skip.
     """
     import subprocess
 
+    _log(f"frontier leg start: cores={cores} reps={reps} variant={variant} "
+         f"timeout={timeout_s and round(timeout_s)}")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
          "--frontier-run", str(cores), str(n_urls), str(reps), variant],
-        capture_output=True, text=True, timeout=3600,
+        capture_output=True, text=True, timeout=timeout_s or 3600,
     )
+    passes = [ln for ln in out.stderr.splitlines()
+              if ln.startswith("FRONTIER_PASSES")]
     for line in out.stdout.splitlines():
         if line.startswith("FRONTIER_RESULT "):
             _, n, t = line.split()
+            _log(f"frontier leg done: cores={cores} min={float(t):.2f}s "
+                 f"({passes[-1] if passes else 'passes n/a'})")
             return int(n), float(t)
     raise RuntimeError(f"frontier subprocess failed: {out.stderr[-2000:]}")
 
@@ -275,43 +320,55 @@ def _main_legs(result: dict) -> None:
     # Queries are budget-guarded: the frontier legs below are the headline
     # evidence, so query breadth yields first (anything cut is named).
     spark = build(CPUS)
+    _log("session up; preparing fixture")
     prepare_fixture(N_FRONTIER, spark)
+    _log("fixture ready; running per-operator queries")
     result["queries"] = run_queries(spark, stop_after=min(280.0, BUDGET / 3))
-    spark.stop()
+    _shutdown_jvm(spark)
+    _log("queries done; parent JVM down")
+
+    def leg(name, cores, reps, est, variant="exact"):
+        """Budget-disciplined frontier leg: started only if the remaining
+        budget covers the estimate, and hard-capped at the remaining budget
+        (estimates can't see a slow-hypervisor window — r3's first run
+        overran 840 s → 1100 s inside unguarded legs). Returns min-pass
+        seconds or None (skip recorded)."""
+        if _left() < est * 1.1:
+            _log(f"SKIP {name} (est {est:.0f}s > left {_left():.0f}s)")
+            result["skipped"].append(name)
+            return None
+        try:
+            _, t = timed_frontier_run(cores, N_FRONTIER, reps=reps,
+                                      variant=variant, timeout_s=_left())
+            return t
+        except Exception as e:  # noqa: BLE001 — a dead leg must not kill the JSON
+            _log(f"FAILED {name}: {type(e).__name__}")
+            result["skipped"].append(f"{name}:{type(e).__name__}")
+            return None
 
     # scaling levels: one FRESH subprocess (fresh JVM) per parallelism level.
     # reps=4 for the headline: hypervisor interference windows on this box
     # can double a pass; min-of-4 reliably catches a quiet one.
-    n_hi, t_hi = timed_frontier_run(CPUS, N_FRONTIER, reps=4)
-    thr_hi = N_FRONTIER / t_hi
-    result["value"] = round(thr_hi, 1)
-    result["frontier_urls"] = N_FRONTIER
-    result["scheduled_rows"] = n_hi
-    result["elapsed_sec"] = round(t_hi, 3)
+    scale = N_FRONTIER / 16_000_000
+    t_hi = leg(f"headline:{CPUS}c", CPUS, 4, est=30 + 5 * 15 * scale)
+    if t_hi:
+        result["value"] = round(N_FRONTIER / t_hi, 1)
+        result["frontier_urls"] = N_FRONTIER
+        result["elapsed_sec"] = round(t_hi, 3)
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
         # The 1-core leg is the expensive one (~3×100 s at 16M URLs) — run
-        # it first while the budget is freshest; each leg is skipped (and
-        # named in "skipped") only if the remaining budget cannot cover its
-        # estimated cost, so the driver invocation always parses.
-        scale = N_FRONTIER / 16_000_000
-        est_lo, est_hi = 25 + 3 * 100 * scale, 25 + 4 * 23 * scale
-        t_s_lo = t_s_hi = None
-        if _left() > est_lo * 1.1:
-            _, t_s_lo = timed_frontier_run(CORES_LO, N_FRONTIER, reps=2)
-        else:
-            result["skipped"].append(f"scaling:{CORES_LO}c")
-        if _left() > est_hi * 1.1:
-            _, t_s_hi = timed_frontier_run(CORES_HI, N_FRONTIER, reps=3)
-        else:
-            result["skipped"].append(f"scaling:{CORES_HI}c")
+        # it first while the budget is freshest.
+        t_s_lo = leg(f"scaling:{CORES_LO}c", CORES_LO, 2, est=25 + 3 * 105 * scale)
+        t_s_hi = leg(f"scaling:{CORES_HI}c", CORES_HI, 3, est=25 + 4 * 25 * scale)
         if t_s_lo and t_s_hi:
             thr_s_hi, thr_s_lo = N_FRONTIER / t_s_hi, N_FRONTIER / t_s_lo
             result["scaling"] = {
                 "cores_lo": CORES_LO, "throughput_lo": round(thr_s_lo, 1),
                 "cores_hi": CORES_HI, "throughput_hi": round(thr_s_hi, 1),
                 "efficiency": round((thr_s_hi / thr_s_lo) / (CORES_HI / CORES_LO), 3),
-                "full_cores": CPUS, "throughput_full": round(thr_hi, 1),
+                "full_cores": CPUS,
+                "throughput_full": round(N_FRONTIER / t_hi, 1) if t_hi else None,
             }
 
     # hot-path variants: Bloom-probe dedup (the cogroup/applyInPandas numpy
@@ -320,23 +377,25 @@ def _main_legs(result: dict) -> None:
     if os.environ.get("BENCH_VARIANTS") == "1":
         result["variants"] = {}
         for variant in ("bloom", "budgeted"):
-            if _left() < 180:
-                result["skipped"].append(f"variant:{variant}")
+            t_v = leg(f"variant:{variant}", CPUS, 3, est=30 + 4 * 20 * scale,
+                      variant=variant)
+            if t_v is None:
                 continue
-            _, t_v = timed_frontier_run(CPUS, N_FRONTIER, reps=3, variant=variant)
             entry = {"throughput_full": round(N_FRONTIER / t_v, 1),
                      "elapsed_sec": round(t_v, 3)}
-            if os.environ.get("BENCH_SKIP_SCALING") != "1" and _left() > 500:
-                _, tv_hi = timed_frontier_run(CORES_HI, N_FRONTIER, reps=3,
-                                              variant=variant)
-                _, tv_lo = timed_frontier_run(CORES_LO, N_FRONTIER, reps=2,
-                                              variant=variant)
-                thv_hi, thv_lo = N_FRONTIER / tv_hi, N_FRONTIER / tv_lo
-                entry["scaling"] = {
-                    "cores_lo": CORES_LO, "throughput_lo": round(thv_lo, 1),
-                    "cores_hi": CORES_HI, "throughput_hi": round(thv_hi, 1),
-                    "efficiency": round((thv_hi / thv_lo) / (CORES_HI / CORES_LO), 3),
-                }
+            if os.environ.get("BENCH_SKIP_SCALING") != "1":
+                tv_lo = leg(f"variant:{variant}:{CORES_LO}c", CORES_LO, 2,
+                            est=25 + 3 * 140 * scale, variant=variant)
+                tv_hi = leg(f"variant:{variant}:{CORES_HI}c", CORES_HI, 3,
+                            est=25 + 4 * 35 * scale, variant=variant)
+                if tv_lo and tv_hi:
+                    thv_hi, thv_lo = N_FRONTIER / tv_hi, N_FRONTIER / tv_lo
+                    entry["scaling"] = {
+                        "cores_lo": CORES_LO, "throughput_lo": round(thv_lo, 1),
+                        "cores_hi": CORES_HI, "throughput_hi": round(thv_hi, 1),
+                        "efficiency": round(
+                            (thv_hi / thv_lo) / (CORES_HI / CORES_LO), 3),
+                    }
             result["variants"][variant] = entry
 
 
