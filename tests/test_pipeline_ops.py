@@ -541,3 +541,44 @@ def test_feature_stub_is_md5_derived():
 
     f = decode_image(b"abc", fake=True)
     assert f.shape == (8,) and f.dtype == np.float64
+
+
+def test_decode_ppm_real():
+    """r3: P6 PPM decodes for REAL (header incl. comment, raster bytes)."""
+    from polipus_spark.functions.multimodal import decode_image
+
+    raster = bytes(range(2 * 3 * 3))  # 2 wide, 3 high
+    payload = b"P6\n# a comment\n2 3\n255\n" + raster
+    img = decode_image(payload)
+    assert img.shape == (3, 2, 3) and img.dtype == np.uint8
+    assert img[0, 0].tolist() == [0, 1, 2]  # first pixel RGB
+    assert img[2, 1].tolist() == [15, 16, 17]  # last pixel
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(payload[:-1])
+
+
+def test_decode_bmp_real():
+    """r3: uncompressed 24-bit BMP — bottom-up rows, 4-byte padded stride,
+    BGR→RGB flip — via a hand-built 2×2 image."""
+    import struct
+
+    from polipus_spark.functions.multimodal import decode_image
+
+    w = h = 2
+    stride = (w * 3 + 3) & ~3  # 8 bytes (2 px × 3 B = 6, padded)
+    # rows bottom-up, BGR: bottom row = red,green ; top row = blue,white
+    bottom = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+    top = bytes([255, 0, 0, 255, 255, 255]) + b"\x00\x00"
+    pixels = bottom + top
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(pixels), 2835, 2835, 0, 0))
+    img = decode_image(header + pixels)
+    assert img.shape == (2, 2, 3)
+    assert img[1, 0].tolist() == [255, 0, 0]   # bottom-left red (RGB)
+    assert img[1, 1].tolist() == [0, 255, 0]   # bottom-right green
+    assert img[0, 0].tolist() == [0, 0, 255]   # top-left blue
+    assert img[0, 1].tolist() == [255, 255, 255]
+    with pytest.raises(ValueError, match="24-bit"):
+        decode_image(header.replace(struct.pack("<HH", 1, 24),
+                                    struct.pack("<HH", 1, 8)) + pixels)
