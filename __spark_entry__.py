@@ -613,6 +613,17 @@ def q_sim_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                             k=5, n_probe=2)
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: pairwise cosine restricted to
+    k-means clusters (3 Lloyd iterations) — pairwise work ~n²/K and each
+    cluster compares independently. The oracle composes the unrolled-Lloyd
+    assignment CTE with a within-cluster pair join."""
+    from polipus_spark.functions.similarity import semantic_dedup_pairs
+
+    return semantic_dedup_pairs(_emb(spark, sf_dir), threshold=0.5,
+                                n_centroids=8, refine_iters=3)
+
+
 def q_dedup_fuzzy_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end fuzzy dedup (exact → LSH → Jaccard≥70% → components →
     min-id keep): the survivors' ids. The oracle chains the identical five
@@ -842,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_stats": q_media_decode_stats,
         "dedup_lines": q_dedup_lines,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
+        "dedup_semantic": q_dedup_semantic,
         # --- stable since r2 ---
         "x4_uuid": q_x4_uuid,
         "x1_canon_cols": q_x1_canon_cols,
@@ -1807,4 +1819,18 @@ def oracle_sql() -> dict[str, str]:
     # the persisted DPP-pruned index path must return IDENTICAL results to
     # the in-memory IVF search — one oracle serves both entries
     out["sim_ivf_topk_indexed"] = out["sim_ivf_topk"]
+    # SemDeDup: the unrolled-Lloyd assignment CTE (same as sim_ivf_kmeans)
+    # wrapped as a subquery, then a within-cluster pair join
+    out["dedup_semantic"] = f"""
+      WITH a AS ({_kmeans_assign_sql(n_iter=3, k=8)}),
+      ev2 AS (SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings)
+      SELECT la.vec_id AS id_a, ra.vec_id AS id_b, la.centroid_id
+      FROM a la JOIN a ra
+        ON la.centroid_id = ra.centroid_id AND la.vec_id < ra.vec_id
+      JOIN ev2 l ON l.vec_id = la.vec_id
+      JOIN ev2 r ON r.vec_id = ra.vec_id
+      WHERE list_cosine_similarity(l.v, r.v) > 0.5
+    """
     return out

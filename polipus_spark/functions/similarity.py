@@ -305,6 +305,43 @@ def near_dup_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 8,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-dup pairs: pairwise cosine only WITHIN
+    k-means clusters → (id_a < id_b, centroid_id).
+
+    The pattern from "SemDeDup" (Abbas et al. 2023): cluster the embedding
+    space (K clusters), then compare pairs only inside each cluster —
+    pairwise work drops from n² to Σ_k n_k², i.e. ~n²/K for balanced
+    clusters, and each cluster's comparison is an independent partition of
+    the equi-join on centroid_id (embarrassingly parallel, no global
+    shuffle of pair candidates). Recall loss = near-dup pairs straddling a
+    cluster boundary — the same trade banded-LSH makes per band; raise K
+    with corpus size to hold n_k constant. Deterministic: seed centroids
+    (or Lloyd-refined with ``refine_iters``) are reproducible, so the pair
+    set is a pure function of the data."""
+    assign = ivf_assign(corpus, n_centroids, id_col, vec_col, refine_iters)
+    v = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).join(assign, "vec_id")
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
+                 "centroid_id")
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"),
+                 "centroid_id")
+    return (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("_va"), F.col("_vb")) > threshold)
+        .select("id_a", "id_b", "centroid_id")
+    )
+
+
 def hyperplane_components(band: int, bit: int, dim: int) -> list[float]:
     """Deterministic md5-derived hyperplane h[(band,bit)] ∈ [-0.5, 0.5]^dim.
 

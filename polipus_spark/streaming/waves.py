@@ -73,6 +73,79 @@ def streaming_metrics(events: DataFrame, window: str = "5 minutes",
     )
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-user session ids across micro-batches.
+
+    The per-group state is (last_ts, session_id) — a new session starts
+    when the gap since the previous event exceeds ``gap_seconds``. This is
+    the streaming twin of the batch ``events_sessionize`` oracle query
+    (lag + cumsum): feed the same events through in arrival order and the
+    session ids match (pinned by tests/test_streaming.py). State is held
+    in the state store with an event-time timeout at the watermark, so
+    idle users' state is reclaimed instead of growing forever — the
+    requirement for a continuous crawl/analytics deployment.
+
+    Output rows stream per batch (Update mode): (user_id, event_id,
+    session_id).
+    """
+    from typing import Any, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("session_id", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("last_ts", LongType()),
+        StructField("session_id", LongType()),
+    ])
+
+    def _sessionize(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # idle past the watermark: reclaim, emit nothing
+            state.remove()
+            return
+        (user_id,) = key
+        last_ts, sess = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            ts = pdf["ts"].astype("int64") // 10**9  # epoch seconds
+            sessions = []
+            for t in ts:
+                if last_ts is None or t - last_ts > gap_seconds:
+                    sess += 1
+                last_ts = int(t)
+                sessions.append(sess)
+            yield pd.DataFrame({
+                "user_id": [int(user_id)] * len(pdf),
+                "event_id": pdf["event_id"].astype("int64").to_numpy(),
+                "session_id": pd.Series(sessions, dtype="int64").to_numpy(),
+            })
+        state.update((last_ts, sess))
+        # reclaim idle users' state once the watermark passes them
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_seconds * 1000)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize, out_schema, state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def ingest_documents_stream(
     spark: SparkSession,
     source_dir: str,

@@ -88,3 +88,57 @@ def test_streaming_dedup_ingest(spark):
     got = {r["text"] for r in spark.read.parquet(out).collect()}
     assert got == {"alpha text", "beta text", "gamma text"}
     assert spark.read.parquet(out).count() == 3
+
+
+def test_streaming_sessionize_stateful(spark):
+    """applyInPandasWithState sessionization: per-user state (last_ts,
+    session counter) carries ACROSS micro-batches — the streaming twin of
+    the batch events_sessionize query. Two files, maxFilesPerTrigger=1 ⇒
+    two micro-batches; sessions opened in batch 1 continue in batch 2 and
+    a >gap silence opens a new one."""
+    import datetime as dt
+    import tempfile
+
+    from polipus_spark.streaming.waves import streaming_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(base + dt.timedelta(seconds=s), e, u) for s, e, u in rows], schema
+        )
+
+    src = tempfile.mkdtemp(prefix="sess_src_")
+    # batch 1: user 1 two events in one session; user 2 one event
+    mk([(0, 1, 1), (100, 2, 1), (0, 10, 2)]).coalesce(1).write.mode(
+        "append").parquet(src)
+    # batch 2: user 1 continues <gap (same session) then >gap (new session);
+    # user 2 silent 2000s > gap ⇒ new session
+    mk([(200, 3, 1), (4000, 4, 1), (2000, 11, 2)]).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_sessionize(stream, gap_seconds=1800)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("sess_out").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["event_id"]): r["session_id"]
+            for r in spark.sql("SELECT * FROM sess_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        (1, 1): 1, (1, 2): 1,   # batch 1, one session
+        (1, 3): 1,              # batch 2: 100s gap — session continues
+        (1, 4): 2,              # 3800s gap — new session
+        (2, 10): 1,
+        (2, 11): 2,             # 2000s > 1800s gap
+    }

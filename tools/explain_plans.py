@@ -78,6 +78,14 @@ def main() -> None:
         "tpch_q5_style": "six-way star join: ALL five joins BroadcastHashJoin "
         "— lineitem streams once through the broadcast chain, zero shuffle "
         "joins, dims reordered by Catalyst.",
+        "sim_ivf_topk_indexed": "persisted IVF probe: the vectors scan "
+        "carries a dynamicpruning subquery on centroid_id (the partition "
+        "column) — only the probed list directories are read; look for "
+        "'dynamicpruning' in the scan's PartitionFilters.",
+        "dedup_semantic": "SemDeDup: within-cluster pair join — the "
+        "assignment equi-join on centroid_id keys the pair search, so "
+        "pairwise work is sum over clusters of n_k², never a global n² "
+        "cross join.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
