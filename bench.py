@@ -192,6 +192,7 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "dedup_spans", "text_vocab_topk", "text_lm_score",
         "sim_quantize_int8", "sim_ivf_topk", "tpch_q5_style", "tpch_q14_style",
         "pack_sequences", "sim_ivf_kmeans", "media_decode_stats",
+        "dedup_lines", "dedup_semantic", "sim_ivf_topk_indexed",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):
