@@ -87,11 +87,23 @@ class Frontier:
             deduped, ["parent_seq", "link_pos", "url"], start=next_seq, out_col="seq"
         )
         out = with_seq.select(*FRONTIER_COLS).persist()
-        n = out.count()
+        # One narrow agg instead of a bare count: the same job yields the
+        # per-bucket breakdown the snapshot lineage records (north_rule:
+        # "checkpointed per-PARTITION frontier snapshots with lineage and
+        # fetch/enqueue/dedup-hit metrics") — ≤ n_buckets rows collected.
+        per_bucket = {
+            int(r["bucket"]): int(r["n"])
+            for r in out.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        n = sum(per_bucket.values())
         if n:
             self.table.append(
                 out, op="frontier_push", wave=wave, partition_by=["bucket"],
-                metrics={"enqueued": n},
+                metrics={
+                    "enqueued": n,
+                    "enqueued_per_bucket": {str(k): v for k, v in
+                                            sorted(per_bucket.items())},
+                },
             )
         else:
             out.unpersist()

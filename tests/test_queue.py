@@ -127,3 +127,21 @@ def test_priority_order(spark, work_dir):
     popped = fr.pop(wave=0, default_budget=5)
     got = sorted(r["url"] for r in popped.collect())
     assert got == sorted(f"http://h.example.com/p/{i}" for i in range(5, 10))
+
+
+def test_push_lineage_per_bucket(spark, work_dir):
+    """r3: the frontier push snapshot records the per-bucket enqueue
+    breakdown (north_rule: per-PARTITION snapshot lineage), and the
+    breakdown sums to the committed total."""
+    fr, _ = _mk(spark, work_dir, n_buckets=4)
+    n, _, out = fr.push(
+        _urls_df(spark, [f"http://h{i}.example.com/p" for i in range(12)]),
+        wave=0, next_seq=0,
+    )
+    assert n == 12
+    m = fr.table.lineage()[-1]["metrics"]
+    assert m["enqueued"] == 12
+    per_bucket = m["enqueued_per_bucket"]
+    assert sum(per_bucket.values()) == 12
+    assert all(0 <= int(b) < 4 for b in per_bucket)
+    out.unpersist()
