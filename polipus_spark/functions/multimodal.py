@@ -100,6 +100,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:  # BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40)
+        raise ValueError("truncated BMP header")
     data_off = struct.unpack_from("<I", payload, 10)[0]
     width, height = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
@@ -107,6 +109,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if bpp != 24 or compression != 0:
         raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
     stride = (width * 3 + 3) & ~3
+    if len(payload) < data_off + (abs(height) - 1) * stride + width * 3:
+        raise ValueError("truncated BMP raster")
     rows = []
     for r in range(abs(height)):
         off = data_off + r * stride

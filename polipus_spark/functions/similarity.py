@@ -253,7 +253,7 @@ def near_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    exact: bool = False,
+    exact: bool | None = None,
     n_bands: int = 16,
     bits_per_band: int = 8,
     dim: int = 64,
@@ -281,6 +281,12 @@ def near_dup_pairs(
     if use_lsh_prefilter is not None:
         import warnings
 
+        if exact is not None:
+            raise ValueError(
+                "near_dup_pairs: pass either exact= or the deprecated "
+                "use_lsh_prefilter=, not both — refusing to guess which "
+                "explicit request wins"
+            )
         warnings.warn(
             "near_dup_pairs(use_lsh_prefilter=...) is deprecated — pass "
             "exact=<bool> instead (note: the DEFAULT also changed from the "
@@ -289,6 +295,7 @@ def near_dup_pairs(
             stacklevel=2,
         )
         exact = not use_lsh_prefilter
+    exact = bool(exact)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     if exact:

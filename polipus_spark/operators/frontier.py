@@ -111,7 +111,7 @@ class Frontier:
         return n, next_seq + n, out
 
     # --------------------------------------------------------------- pending
-    def pending(self) -> DataFrame:
+    def pending(self, persisted: list | None = None) -> DataFrame:
         if not self.table.exists():
             raise ValueError("frontier is empty — push seeds first")
         f = self.table.read()
@@ -126,6 +126,7 @@ class Frontier:
             f = exact_top_k(
                 f, [(-F.col("seq")).alias("_negseq")],
                 self.opts.queue_overflow_capped_max,
+                persisted=persisted,
             )
         return f
 
@@ -158,6 +159,7 @@ class Frontier:
         wave: int,
         budgets: DataFrame | None = None,
         default_budget: int | None = None,
+        persisted: list | None = None,
     ) -> DataFrame:
         """S2/O1: select this wave's fetch set; mark it scheduled.
 
@@ -169,14 +171,15 @@ class Frontier:
            config); hosts absent from it get ``default_budget`` (None ⇒
            unlimited, the reference default — no Sleeper plugin).
         """
-        pend = self.pending()
+        pend = self.pending(persisted=persisted)
         limit = self.opts.queue_items_limit
         if limit is not None:
             # O3 hot window = exact global top-`limit` in FIFO order. At the
             # reference default (2M) a plain sort-limit would funnel
             # partitions×2M rows through one merge task; exact_top_k's
             # threshold selection keeps that merge at ~limit rows.
-            pend = exact_top_k(pend, list(ORDER_COLS), limit)
+            pend = exact_top_k(pend, list(ORDER_COLS), limit,
+                               persisted=persisted)
 
         if budgets is not None or default_budget is not None:
             w = Window.partitionBy("host_salt").orderBy(*[F.col(c) for c in ORDER_COLS])

@@ -47,12 +47,24 @@ def exact_top_k(
     sample_target: int = 100_000,
     margin: float = 1.05,
     force_two_phase: bool = False,
+    persisted: list | None = None,
 ) -> DataFrame:
     """Smallest ``k`` rows of ``df`` by ascending ``order_cols`` (exact).
 
     ``order_cols`` must form a total order (include a unique tiebreak such
     as ``seq``; for descending order pass the negated column). All input
     columns are preserved; internal ``_tk*`` key columns are dropped.
+
+    NULL key values take the plain sort-limit path (detected in the same
+    aggregate as the row count): the threshold filter would silently drop
+    null-key rows while orderBy ranks them first, and the two paths of one
+    function must agree.
+
+    ``persisted`` (fetch_wave pattern): pass a list to persist the keyed
+    input across the selection's passes (count, sample, candidate count,
+    final sort) and receive the handle for end-of-job unpersist; without
+    it the input plan re-executes per pass — fine for scans, wasteful when
+    ``df`` hides a join (the frontier's pending anti-join).
     """
     if k <= 0:
         return df.limit(0)
@@ -64,7 +76,20 @@ def exact_top_k(
     keyed = df.select("*", *[c.alias(n) for n, c in zip(knames, keys)])
     kstruct = F.struct(*[F.col(n) for n in knames])
     ktypes = [keyed.schema[n].dataType for n in knames]
-    n = keyed.count()
+    if persisted is not None:
+        keyed = keyed.persist()
+        persisted.append(keyed)
+    null_any = None
+    for kn in knames:
+        c = F.col(kn).isNull()
+        null_any = c if null_any is None else (null_any | c)
+    agg = keyed.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(null_any, 1).otherwise(0)).alias("n_null"),
+    ).collect()[0]
+    n, n_null = int(agg["n"]), int(agg["n_null"] or 0)
+    if n_null:
+        return keyed.drop(*knames).orderBy(*keys).limit(k)
     if n <= k:
         return keyed.drop(*knames)
 

@@ -310,12 +310,18 @@ class PolipusCrawler:
         o = self.opts
         m: dict = {"wave": wave, "clock": now}
 
+        # frames the pop's top-k selection persists (keyed pending
+        # anti-join); released with the wave's other persists below
+        pop_frames: list = []
         popped = self.frontier.pop(
-            wave, budgets=self._budgets(), default_budget=o.per_host_budget
+            wave, budgets=self._budgets(), default_budget=o.per_host_budget,
+            persisted=pop_frames,
         ).persist()
         m["scheduled"] = popped.count()
         if m["scheduled"] == 0:
             popped.unpersist()
+            for pf in pop_frames:
+                pf.unpersist()
             m.update(fetched=0, errors=0, enqueued=0, dedup_hits=0,
                      policy_dropped=0, next_seq=next_seq)
             return m
@@ -620,6 +626,8 @@ class PolipusCrawler:
             hf.unpersist()
         valid.unpersist()
         popped.unpersist()
+        for pf in pop_frames:  # top-k selection intermediates (frontier.pop)
+            pf.unpersist()
         if stored is not None:
             stored.unpersist()
         return m

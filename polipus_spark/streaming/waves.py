@@ -117,7 +117,16 @@ def streaming_sessionize(
             return
         (user_id,) = key
         last_ts, sess = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
+        # Concatenate the group's Arrow chunks BEFORE sorting: a user with
+        # more rows than the Arrow batch size arrives as multiple pdfs in
+        # arbitrary order, and sorting each chunk independently while
+        # threading (last_ts, sess) across them would regress last_ts and
+        # mis-assign sessions (code-review r3 finding).
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        if len(pdf):
             pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
             ts = pdf["ts"].astype("int64") // 10**9  # epoch seconds
             sessions = []

@@ -582,3 +582,17 @@ def test_decode_bmp_real():
     with pytest.raises(ValueError, match="24-bit"):
         decode_image(header.replace(struct.pack("<HH", 1, 24),
                                     struct.pack("<HH", 1, 8)) + pixels)
+    # r3 review fix: truncated BMPs raise ValueError (which image_stats
+    # catches → null row), never struct.error (which would kill the job)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(b"BM\x01\x02")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(header + pixels[:5])
+
+
+def test_near_dup_pairs_conflicting_flags_raise(spark):
+    from polipus_spark.functions.similarity import near_dup_pairs
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not both"):
+        near_dup_pairs(emb, exact=True, use_lsh_prefilter=True, dim=2)

@@ -63,3 +63,33 @@ def test_direct_gate_path(frame):
 def test_columns_preserved_no_internal_keys(frame):
     got = exact_top_k(frame, ORDER, 100, force_two_phase=True)
     assert got.columns == frame.columns
+
+
+def test_null_keys_fall_back_to_sort_limit(spark, frame):
+    """r3 review fix: NULL key values must produce the SAME result as the
+    plain sort-limit path (nulls-first), not be silently dropped by the
+    threshold filter or crash the driver-side sample sort."""
+    withnull = frame.union(
+        spark.createDataFrame(
+            [(None, 0, 0, 10**9)],
+            "priority int, depth int, discovery_ts bigint, seq bigint",
+        )
+    )
+    got = exact_top_k(withnull, ORDER, 500, force_two_phase=True)
+    nullsafe = lambda rows: sorted(  # noqa: E731
+        (tuple(r) for r in rows),
+        key=lambda t: tuple((v is None, v if v is not None else 0) for v in t),
+    )
+    assert nullsafe(got.collect()) == \
+        nullsafe(withnull.orderBy(*ORDER).limit(500).collect())
+    # the null-key row ranks first under nulls-first ordering
+    assert any(r["priority"] is None for r in got.collect())
+
+
+def test_persisted_list_receives_handle(frame):
+    handles = []
+    got = exact_top_k(frame, ORDER, 1_000, force_two_phase=True,
+                      persisted=handles)
+    assert got.count() == 1_000
+    assert len(handles) == 1 and handles[0].is_cached
+    handles[0].unpersist()
