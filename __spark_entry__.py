@@ -492,6 +492,19 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(chunks, budget=256, n_bins=16)
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste report over the packed sequences (the number a
+    training pipeline actually publishes): one row
+    (n_sequences, total_words, fill_pct). The oracle extends the
+    pack_sequences recursive CTE with the same rollup."""
+    from polipus_spark.functions.packing import pack_sequences, packing_efficiency
+    from polipus_spark.functions.text import chunk_docs
+
+    chunks = chunk_docs(_docs(spark, sf_dir), chunk=64, overlap=8)
+    return packing_efficiency(pack_sequences(chunks, budget=256, n_bins=16),
+                              budget=256)
+
+
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation rollup: docs + token mass per (language, quality class) —
     the mixing report a data pipeline publishes per snapshot. One narrow
@@ -866,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines": q_dedup_lines,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
+        "pack_efficiency": q_pack_efficiency,
         # --- stable since r2 ---
         "x4_uuid": q_x4_uuid,
         "x1_canon_cols": q_x1_canon_cols,
@@ -1154,6 +1168,37 @@ def oracle_sql() -> dict[str, str]:
         for b in range(16)
     )
     lsh_cte = _minhash_banded_sql()
+    # shared by pack_sequences / pack_efficiency: chunking + md5 bins +
+    # the recursive greedy-fill replay
+    pack_cte = f"""
+          WITH RECURSIVE ch AS (
+            SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                   CAST(least(64, len(ws) - i * 56) AS INT) AS n_words,
+                   CAST(CAST(concat('0x',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
+                     % 16 AS INT) AS bin
+            FROM (
+              SELECT doc_id, ws,
+                     unnest(range(0,
+                       1 + CAST(ceil(greatest(0, len(ws) - 64) / 56.0) AS INT))) AS i
+              FROM (SELECT doc_id, {ws} AS ws FROM documents))
+          ),
+          ord AS (
+            SELECT *, row_number() OVER (PARTITION BY bin
+                        ORDER BY doc_id, chunk_id) AS rn
+            FROM ch),
+          packed(bin, rn, doc_id, chunk_id, n_words, fill, loc) AS (
+            SELECT bin, rn, doc_id, chunk_id, n_words, n_words, 0
+            FROM ord WHERE rn = 1
+            UNION ALL
+            SELECT o.bin, o.rn, o.doc_id, o.chunk_id, o.n_words,
+                   CASE WHEN p.fill + o.n_words > 256
+                        THEN o.n_words ELSE p.fill + o.n_words END,
+                   CASE WHEN p.fill + o.n_words > 256
+                        THEN p.loc + 1 ELSE p.loc END
+            FROM packed p JOIN ord o ON o.bin = p.bin AND o.rn = p.rn + 1
+          )
+    """
 
     out = {
         "x4_uuid": f"""
@@ -1414,40 +1459,26 @@ def oracle_sql() -> dict[str, str]:
         # replayed exactly by a linear recursive CTE over each bin's
         # (doc_id, chunk_id) order (r2 VERDICT item 4; same recursive-CTE
         # technique as the dedup_components oracle).
-        "pack_sequences": f"""
-          WITH RECURSIVE ch AS (
-            SELECT doc_id, CAST(i AS INT) AS chunk_id,
-                   CAST(least(64, len(ws) - i * 56) AS INT) AS n_words,
-                   CAST(CAST(concat('0x',
-                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT)
-                     % 16 AS INT) AS bin
-            FROM (
-              SELECT doc_id, ws,
-                     unnest(range(0,
-                       1 + CAST(ceil(greatest(0, len(ws) - 64) / 56.0) AS INT))) AS i
-              FROM (SELECT doc_id, {ws} AS ws FROM documents))
-          ),
-          ord AS (
-            SELECT *, row_number() OVER (PARTITION BY bin
-                        ORDER BY doc_id, chunk_id) AS rn
-            FROM ch),
-          packed(bin, rn, doc_id, chunk_id, n_words, fill, loc) AS (
-            SELECT bin, rn, doc_id, chunk_id, n_words, n_words, 0
-            FROM ord WHERE rn = 1
-            UNION ALL
-            SELECT o.bin, o.rn, o.doc_id, o.chunk_id, o.n_words,
-                   CASE WHEN p.fill + o.n_words > 256
-                        THEN o.n_words ELSE p.fill + o.n_words END,
-                   CASE WHEN p.fill + o.n_words > 256
-                        THEN p.loc + 1 ELSE p.loc END
-            FROM packed p JOIN ord o ON o.bin = p.bin AND o.rn = p.rn + 1
-          )
+        "pack_sequences": pack_cte + """
           SELECT CAST(bin AS INT) AS bin,
                  CAST((CAST(bin AS BIGINT) << 32) + loc AS BIGINT) AS seq_id,
                  CAST(doc_id AS BIGINT) AS doc_id,
                  CAST(chunk_id AS INT) AS chunk_id,
                  CAST(n_words AS INT) AS n_words
           FROM packed
+        """,
+        # the padding-waste rollup over the same packed CTE; floor() because
+        # Spark's cast(double AS int) truncates while DuckDB's rounds
+        "pack_efficiency": pack_cte + """,
+          seqs AS (
+            SELECT (CAST(bin AS BIGINT) << 32) + loc AS seq_id,
+                   SUM(n_words) AS w
+            FROM packed GROUP BY 1)
+          SELECT count(*) AS n_sequences,
+                 CAST(SUM(w) AS BIGINT) AS total_words,
+                 CAST(floor(SUM(least(w, 256)) * 100.0 / (count(*) * 256))
+                      AS INT) AS fill_pct
+          FROM seqs
         """,
         "sim_ivf_kmeans": _kmeans_assign_sql(n_iter=3, k=8),
         "media_decode_stats": """

@@ -1,6 +1,6 @@
 """Driver-contract smoke: entry() runs, queries()/oracle_sql() aligned,
 and a sample of oracles verified against DuckDB at sf0.001 (the full
-57-query check runs via tools/oracle_check.py at sf0.01)."""
+58-query check runs via tools/oracle_check.py at sf0.01)."""
 
 import duckdb
 import pytest
