@@ -384,7 +384,18 @@ def band_sketches(
     Banding is what makes hyperplane LSH usable for near-dup recall: a single
     b-bit bucket has P = p^b of catching a pair (~0.2 at cosine 0.5); L
     independent bands lift that to 1-(1-p^b)^L. Same construction as the
-    MinHash banding in dedup.py, same explode/self-join shape downstream."""
+    MinHash banding in dedup.py, same explode/self-join shape downstream.
+
+    .. warning:: REFERENCE/PARITY PATH ONLY. Each bit is a ``zip_with`` +
+       ``aggregate`` lambda over a ``dim``-element literal array, so the
+       full sketch is n_bands × bits_per_band × dim literal leaves — at the
+       default (16, 8, 64) that's ~8,200 leaves, and Catalyst spends
+       minutes analyzing it (then exceeds the codegen limit and evaluates
+       interpreted). :func:`lsh_band_rows` computes the identical buckets
+       in one Arrow numpy kernel (``V @ H.T``) and is what
+       :func:`lsh_bucket_candidates` uses; this Column form stays as the
+       executable spec the kernel is tested against (bit-equality pinned by
+       tests/test_pipeline_ops.py)."""
     return F.array(*[
         F.struct(
             F.lit(band).alias("band"),
@@ -392,6 +403,81 @@ def band_sketches(
         )
         for band in range(n_bands)
     ])
+
+
+def hyperplane_matrix(n_bands: int, bits_per_band: int, dim: int):
+    """The (n_bands·bits_per_band) × dim hyperplane matrix H as float64
+    numpy — row (band·bits_per_band + j) is ``hyperplane_components(band,
+    j, dim)``, the same constants the Column path and the DuckDB oracle
+    inline."""
+    import numpy as np
+
+    return np.array(
+        [
+            hyperplane_components(band, j, dim)
+            for band in range(n_bands)
+            for j in range(bits_per_band)
+        ],
+        dtype=np.float64,
+    )
+
+
+def lsh_band_rows(
+    corpus: DataFrame,
+    n_bands: int = 16,
+    bits_per_band: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) hyperplane-LSH sketch rows — the scale path.
+
+    One Arrow ``mapInPandas`` kernel computes ALL n_bands·bits_per_band sign
+    bits per vector as a single matmul ``V @ H.T`` (H from
+    :func:`hyperplane_matrix`), then packs bits into per-band bucket ints.
+    Replaces the :func:`band_sketches` Column expression, whose ~8,200
+    literal leaves cost Catalyst minutes of analysis per query and fall
+    back to interpreted eval (r3 VERDICT: 283 s at sf0.01 vs 0.3 s oracle).
+    The kernel is a map-only pass — no shuffle; bit-equality with the
+    Column spec (and hence the DuckDB oracle, which inlines the identical
+    constants and also dots in float64) is pinned by tests. Vectors shorter
+    than ``dim`` are zero-padded (the Column path nulls the whole dot and
+    yields bucket 0 for them — don't feed short vectors to either path).
+    """
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    H_T = hyperplane_matrix(n_bands, bits_per_band, dim).T  # (dim, B)
+    src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    out_schema = StructType([
+        src.schema["id"],
+        StructField("band", IntegerType()),
+        StructField("bucket", LongType()),
+    ])
+    nb, bpb, d = n_bands, bits_per_band, dim
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        weights = 1 << np.arange(bpb, dtype=np.int64)  # bit j -> 2^j
+        bands = np.arange(nb, dtype=np.int32)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.zeros((n, d), dtype=np.float64)
+            for i, v in enumerate(pdf["_v"].values):
+                a = np.asarray(v, dtype=np.float64)[:d]
+                V[i, : len(a)] = a
+            bits = (V @ H_T) > 0.0  # (n, nb*bpb) sign bits
+            buckets = bits.reshape(n, nb, bpb).astype(np.int64) @ weights
+            yield pd.DataFrame({
+                "id": pdf["id"].values.repeat(nb),
+                "band": np.tile(bands, n),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return src.mapInPandas(_kernel, out_schema)
 
 
 def lsh_bucket_candidates(
@@ -404,15 +490,11 @@ def lsh_bucket_candidates(
 ) -> DataFrame:
     """Near-duplicate embedding candidates: pairs sharing ≥1 band bucket.
 
-    explode(band sketches) → equi-join on (band, bucket) → distinct pairs.
-    The join is an equi-join Catalyst shuffles on the narrow (band, bucket)
-    key; candidate volume ∝ bucket collisions, never n²."""
-    sk = corpus.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            band_sketches(F.col(vec_col), n_bands, bits_per_band, dim)
-        ).alias("_bb"),
-    ).select("id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    Arrow-kernel sketch rows (:func:`lsh_band_rows`) → equi-join on
+    (band, bucket) → distinct pairs. The join is an equi-join Catalyst
+    shuffles on the narrow (band, bucket) key; candidate volume ∝ bucket
+    collisions, never n²."""
+    sk = lsh_band_rows(corpus, n_bands, bits_per_band, dim, id_col, vec_col)
     l, r = sk.alias("l"), sk.alias("r")
     return (
         l.join(

@@ -480,6 +480,31 @@ def test_lsh_embedding_buckets_deterministic(spark):
     assert a == b > 0
 
 
+def test_lsh_kernel_matches_column_spec(spark):
+    """The Arrow numpy sketch kernel (lsh_band_rows, V @ H.T) must be
+    bit-identical to the Column executable spec (band_sketches) — which in
+    turn is what the DuckDB oracle inlines. Full banding config (L=8, b=4
+    AND the default L=16, b=8) over real sf0.001 embeddings; any sign-fold
+    divergence between BLAS matmul and the sequential Column fold would
+    flip a bucket bit and show up here."""
+    from polipus_spark.functions.similarity import band_sketches, lsh_band_rows
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(64)
+    for n_bands, bpb in [(8, 4), (16, 8)]:
+        kernel = {
+            (r["id"], r["band"], r["bucket"])
+            for r in lsh_band_rows(emb, n_bands, bpb, dim=64).collect()
+        }
+        spec = {
+            (r["id"], r["band"], r["bucket"])
+            for r in emb.select(
+                F.col("vec_id").alias("id"),
+                F.explode(band_sketches(F.col("embedding"), n_bands, bpb, 64)).alias("_bb"),
+            ).select("id", "_bb.band", "_bb.bucket").collect()
+        }
+        assert kernel == spec
+
+
 def test_near_dup_lsh_default_recall(spark):
     """LSH-prefiltered near_dup_pairs (the default path): subset of exact
     pairs with recall ≥ 0.6 at threshold 0.4 when banded for that range
