@@ -121,6 +121,89 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return img[:, :, ::-1].copy()  # BGR → RGB
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a PCM WAV payload → (n_channels, sample_rate, samples).
+
+    Pure stdlib/numpy, the audio analog of :func:`decode_bmp`: RIFF/WAVE
+    header check, chunk walk (unknown chunks skipped per spec), 16-bit PCM
+    ``data`` → little-endian int16 array reshaped (n_frames, n_channels).
+    Float/compressed codecs raise ValueError — same posture as JPEG/PNG on
+    the image side (no audio library in this container; PCM needs none)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, n_channels, sample_rate, _rate, _align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(
+            f"only 16-bit PCM WAV supported (format={audio_format}, bits={bits})"
+        )
+    if n_channels < 1:
+        raise ValueError("WAV with zero channels")
+    n = (len(data) // (2 * n_channels)) * (2 * n_channels)
+    samples = np.frombuffer(data[:n], dtype="<i2").reshape(-1, n_channels)
+    return n_channels, sample_rate, samples
+
+
+def audio_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL WAV decode → per-clip stats columns (the audio twin of
+    :func:`image_stats`).
+
+    mapInPandas over Arrow batches; each payload is decoded with
+    :func:`decode_wav` and reduced to (n_channels, sample_rate, n_frames,
+    sum_abs_l, sum_abs_r) — exact int64 sums of |int16| per channel, so a
+    SQL oracle deriving the same sample bytes verifies the decoder
+    bit-for-bit. Channels beyond the first two fold into nothing here
+    (stats stay scalar for the driver harness); mono leaves sum_abs_r
+    null. Undecodable/null payloads yield null stats."""
+    out_schema = T.StructType(
+        list(media.schema.fields)
+        + [
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_frames", T.LongType(), True),
+            T.StructField("sum_abs_l", T.LongType(), True),
+            T.StructField("sum_abs_r", T.LongType(), True),
+        ]
+    )
+    keys = ("n_channels", "sample_rate", "n_frames", "sum_abs_l", "sum_abs_r")
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in keys}
+            for p in pdf[payload_col]:
+                try:
+                    nc, rate, samples = decode_wav(bytes(p))
+                    sums = np.abs(samples.astype(np.int64)).sum(axis=0)
+                    vals = (
+                        nc, rate, samples.shape[0], int(sums[0]),
+                        int(sums[1]) if nc >= 2 else None,
+                    )
+                except (ValueError, TypeError):
+                    vals = (None, None, None, None, None)
+                for k, v in zip(keys, vals):
+                    cols[k].append(v)
+            yield pdf.assign(**cols)
+
+    return media.mapInPandas(_stats, out_schema)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     """Decode an image payload to a pixel array (PPM P6 / uncompressed BMP).
 

@@ -93,8 +93,11 @@ def exact_top_k(
     if n <= k:
         return keyed.drop(*knames)
 
-    # deterministic sample of key tuples (pure function of the data)
-    d = max(1, n // sample_target)
+    # deterministic sample of key tuples (pure function of the data);
+    # round-to-nearest divisor keeps the collect near sample_target even
+    # when n is just past the two-phase gate (floor div collected up to
+    # 2× the target right where the path first kicks in — r3 ADVICE)
+    d = max(1, round(n / sample_target))
     sample = (
         keyed.where(F.pmod(F.xxhash64(*[F.col(c) for c in knames]), F.lit(d)) == 0)
         .select(*knames)

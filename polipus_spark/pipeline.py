@@ -81,9 +81,13 @@ def curate_corpus(
         # used to silently narrow the output schema).
         sd = dedup_spans(d, span_words=span_dedup_words,
                          id_col=id_col, text_col=text_col)
+        # dropDuplicates on the right side: if ids are not unique here
+        # (exact dedup disabled / upstream duplication) the inner join would
+        # otherwise emit a c×c cross-product per duplicated id; the rebuilt
+        # text is identical per id, so keeping one is lossless (r3 ADVICE).
         d = d.drop(text_col).join(
             sd.select(F.col("doc_id").alias(id_col),
-                      F.col("text").alias(text_col)),
+                      F.col("text").alias(text_col)).dropDuplicates([id_col]),
             id_col,
         )
         stages["span_deduped"] = d

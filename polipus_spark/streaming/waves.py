@@ -86,9 +86,13 @@ def streaming_sessionize(
     the streaming twin of the batch ``events_sessionize`` oracle query
     (lag + cumsum): feed the same events through in arrival order and the
     session ids match (pinned by tests/test_streaming.py). State is held
-    in the state store with an event-time timeout at the watermark, so
+    in the state store with an event-time timeout at last_ts + gap, so
     idle users' state is reclaimed instead of growing forever — the
-    requirement for a continuous crawl/analytics deployment.
+    requirement for a continuous crawl/analytics deployment. After a
+    user's state is reclaimed (only possible once the watermark has passed
+    last_ts + gap, i.e. any later on-time event starts a new session
+    anyway), the session-id counter restarts at 1 — ids are unique within
+    a state lifetime, not globally across reclamations.
 
     Output rows stream per batch (Update mode): (user_id, event_id,
     session_id).
@@ -141,8 +145,16 @@ def streaming_sessionize(
                 "session_id": pd.Series(sessions, dtype="int64").to_numpy(),
             })
         state.update((last_ts, sess))
-        # reclaim idle users' state once the watermark passes them
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_seconds * 1000)
+        # Reclaim idle users' state once the session gap has elapsed in
+        # EVENT time: timeout at last_ts + gap, not watermark + gap — fresh
+        # events run ahead of the watermark by up to the watermark delay,
+        # so a watermark-relative timeout could evict a user whose next
+        # event is < gap away and split one session in two (r3 ADVICE).
+        # EventTimeTimeout requires a timestamp strictly beyond the current
+        # watermark, hence the max() floor.
+        state.setTimeoutTimestamp(
+            max((last_ts + gap_seconds) * 1000, state.getCurrentWatermarkMs() + 1)
+        )
 
     return (
         events.withWatermark("ts", watermark)

