@@ -315,10 +315,15 @@ def near_dup_pairs(
 def semantic_dedup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
-    n_centroids: int = 8,
+    n_centroids: int | None = 8,
     refine_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = 4096,
+    hot_cluster_cap: int | None = None,
+    n_bands: int = 16,
+    bits_per_band: int = 8,
+    dim: int = 64,
 ) -> DataFrame:
     """SemDeDup-style semantic near-dup pairs: pairwise cosine only WITHIN
     k-means clusters → (id_a < id_b, centroid_id).
@@ -329,24 +334,79 @@ def semantic_dedup_pairs(
     clusters, and each cluster's comparison is an independent partition of
     the equi-join on centroid_id (embarrassingly parallel, no global
     shuffle of pair candidates). Recall loss = near-dup pairs straddling a
-    cluster boundary — the same trade banded-LSH makes per band; raise K
-    with corpus size to hold n_k constant. Deterministic: seed centroids
-    (or Lloyd-refined with ``refine_iters``) are reproducible, so the pair
-    set is a pure function of the data."""
+    cluster boundary — the same trade banded-LSH makes per band.
+    Deterministic: seed centroids (or Lloyd-refined with ``refine_iters``)
+    are reproducible, so the pair set is a pure function of the data.
+
+    Two 100 TB guards (r3 VERDICT #4):
+
+    * ``n_centroids=None`` derives K = ceil(n / target_cluster_size), so
+      per-cluster pair work (~target²) and join parallelism (= K) both
+      hold constant as the corpus grows instead of K being a fixed 8.
+    * ``hot_cluster_cap`` (default 4·target_cluster_size) bounds skew:
+      clusters larger than the cap — the n_k² hot spots a Zipfian corpus
+      always has — fall back to banded-LSH *within* the cluster
+      (:func:`lsh_band_rows` keyed by (centroid, band, bucket)), so their
+      pair work tracks bucket collisions, never n_k². Pairs from hot
+      clusters are LSH-recall (≥99% at the default banding for 0.9-cosine
+      dups); small clusters stay exact.
+    """
+    if hot_cluster_cap is None:
+        hot_cluster_cap = 4 * target_cluster_size
+    if n_centroids is None:
+        n = corpus.count()
+        n_centroids = max(1, -(-n // target_cluster_size))
     assign = ivf_assign(corpus, n_centroids, id_col, vec_col, refine_iters)
     v = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
     ).join(assign, "vec_id")
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
-                 "centroid_id")
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"),
-                 "centroid_id")
-    return (
+    # K-row cluster-size frame → broadcast hot/cold routing
+    sizes = assign.groupBy("centroid_id").agg(F.count("*").alias("_csz"))
+    v = v.join(F.broadcast(sizes), "centroid_id")
+    cold = v.where(F.col("_csz") <= hot_cluster_cap)
+    hot = v.where(F.col("_csz") > hot_cluster_cap)
+
+    a = cold.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
+                    "centroid_id")
+    b = cold.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"),
+                    "centroid_id")
+    pairs = (
         a.join(b, "centroid_id")
         .where(F.col("id_a") < F.col("id_b"))
         .where(cosine(F.col("_va"), F.col("_vb")) > threshold)
         .select("id_a", "id_b", "centroid_id")
     )
+
+    sk = lsh_band_rows(hot, n_bands, bits_per_band, dim,
+                       id_col="vec_id", vec_col="_v")
+    # band rows re-keyed by cluster: candidates must share (cluster, band,
+    # bucket) — the join key cardinality is K·L·2^b, not K, so hot-cluster
+    # parallelism recovers too
+    ctr = hot.select("vec_id", "centroid_id")
+    skc = sk.join(ctr, sk["id"] == ctr["vec_id"]).select(
+        "id", "centroid_id", "band", "bucket"
+    )
+    l, r = skc.alias("l"), skc.alias("r")
+    hot_cand = (
+        l.join(
+            r,
+            (F.col("l.centroid_id") == F.col("r.centroid_id"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.centroid_id").alias("centroid_id"))
+        .distinct()
+    )
+    va = hot.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = hot.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
+    hot_pairs = (
+        hot_cand.join(va, "id_a").join(vb, "id_b")
+        .where(cosine(F.col("_va"), F.col("_vb")) > threshold)
+        .select("id_a", "id_b", "centroid_id")
+    )
+    return pairs.unionByName(hot_pairs)
 
 
 def hyperplane_components(band: int, bit: int, dim: int) -> list[float]:

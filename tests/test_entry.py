@@ -49,3 +49,22 @@ def test_oracle_sample(spark, name):
     scols, dcols = sorted(sdf.columns), sorted(ddf.columns)
     assert scols == dcols
     assert normalize(srows, scols) == normalize(drows, dcols)
+
+
+def test_no_entry_is_an_expression_bomb(spark):
+    """r3 VERDICT #8: a per-entry wall-clock tripwire so a future Catalyst
+    expression bomb (r3: band_sketches cost 283 s at sf0.01, truncating the
+    driver's correctness ledger) is caught by pytest instead of by a
+    half-empty CORRECTNESS ledger. Analysis cost is sf-independent, so
+    sf0.001 with a 75 s/entry budget catches the failure mode cheaply.
+    Every entry EXECUTES fully (noop sink — no collect, no row caps)."""
+    import time
+
+    slow = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        fn(spark, SF).write.format("noop").mode("overwrite").save()
+        dt = time.monotonic() - t0
+        if dt > 75.0:
+            slow[name] = round(dt, 1)
+    assert not slow, f"entries over the 75s sf0.001 budget: {slow}"
