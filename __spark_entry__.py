@@ -911,6 +911,63 @@ def q_tpch_q1_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sketch_key() -> F.Column:
+    """Shared distinct-count subject: the (user, event_type) pair key —
+    750 distinct at sf0.01 from 10k events, i.e. a key with real duplicate
+    pressure, like URLs in a frontier."""
+    return F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+
+
+def q_sketch_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct estimate (r4): m=64 registers
+    from md5-derived buckets — ONE groupBy over ≤64 bucket ids, exact
+    integer harmonic sum (terms scaled to 2^52), engine-portable estimate.
+    The classic 100 TB count-distinct without shuffling the key space."""
+    from polipus_spark.functions.sketches import hll_distinct
+
+    return hll_distinct(_events(spark, sf_dir), _sketch_key())
+
+
+def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct estimate (r4), sketch-guided two-pass:
+    an HLL pre-pass bounds the kth-min hash, a pushed-down threshold
+    filter shrinks the input to ~8k hashes, then the k=256 smallest
+    distinct hashes give (k-1)/kth_min_normalized. The oracle replays the
+    HLL + threshold + top-k pipeline in SQL."""
+    from polipus_spark.functions.sketches import kmv_distinct
+
+    return kmv_distinct(_events(spark, sf_dir), _sketch_key(), k=256)
+
+
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters (r4): 4×256 md5-salted counters
+    (ONE groupBy over ≤1024 cells, KB-sized broadcastable sketch), probed
+    for the top-20 true-count users; output compares cms_count vs
+    true_count so the overestimation bound is visible in the result."""
+    from polipus_spark.functions.sketches import cms_build, cms_estimate
+
+    e = _events(spark, sf_dir)
+    key = F.col("user_id").cast("string")
+    sketch = cms_build(e, key)
+    truth = e.groupBy(key.alias("uid")).agg(F.count("*").alias("true_count"))
+    probes = truth.orderBy(F.desc("true_count"), "uid").limit(20)
+    est = cms_estimate(sketch, probes, F.col("uid"))
+    return (
+        probes.join(est, probes["uid"] == est["probe_key"])
+        .select(F.col("uid").alias("user_id"), "true_count", "cms_count")
+    )
+
+
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles (r4): p50/p95/p99 of events.value via a
+    1024-bin equi-width histogram — two map-side-combining aggs plus a
+    window over the ≤1024-row bin table; no sort of the data. Integer
+    rank arithmetic; the estimate alone is floor-scaled to a BIGINT."""
+    from polipus_spark.functions.sketches import binned_quantiles
+
+    return binned_quantiles(_events(spark, sf_dir), F.col("value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness run walks this dict in order
     # and has a global time budget (r2 truncated at 50/53, r3 at 50/58).
@@ -930,6 +987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new or changed this round ---
         "sim_ivf_topk_quantized": q_sim_ivf_topk_quantized,
         "audio_stats": q_audio_stats,
+        "sketch_distinct_hll": q_sketch_distinct_hll,
+        "sketch_distinct_kmv": q_sketch_distinct_kmv,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
+        "sketch_quantiles": q_sketch_quantiles,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -1947,6 +2008,114 @@ def oracle_sql() -> dict[str, str]:
     # by construction: the true top-k must survive the k·overfetch cut)
     out["sim_ivf_topk_indexed"] = out["sim_ivf_topk"]
     out["sim_ivf_topk_quantized"] = out["sim_ivf_topk"]
+    # --- deterministic sketches (r4, polipus_spark/functions/sketches.py) ---
+    # shared HLL registers: 60-bit md5 hash, bucket = h % 64, rho = leading
+    # zeros of the high 54 bits + 1 (bin() = Spark conv(...,10,2): minimal
+    # binary string, '0' for zero), clamped to 52 so the exact-integer term
+    # 2^(52-rho) stays >= 1. Harmonic sum kept in BIGINT; empty buckets add
+    # 2^52 each. CAST(sum(..)) needed: DuckDB sums BIGINT into HUGEINT.
+    sketch_key = "CAST(user_id AS VARCHAR) || ':' || event_type"
+    hll_cte = f"""
+      h AS (SELECT CAST(concat('0x', substr(md5({sketch_key}), 1, 15))
+                        AS BIGINT) AS h
+            FROM events),
+      regs AS (
+        SELECT h % 64 AS bucket,
+               max(least(52, CASE WHEN (h >> 6) = 0 THEN 55
+                                  ELSE 55 - length(bin(h >> 6)) END)) AS rho_max
+        FROM h GROUP BY 1),
+      agg AS (
+        SELECT count(*) AS n_buckets_seen,
+               CAST(sum(1::BIGINT << (52 - rho_max)) AS BIGINT) AS s_seen
+        FROM regs),
+      hll AS (
+        SELECT n_buckets_seen,
+               s_seen + (64 - n_buckets_seen) * (1::BIGINT << 52)
+                 AS harmonic_sum_scaled
+        FROM agg)
+    """
+    hll_est = ("CAST(floor(0.709::DOUBLE * 64 * 64 / (harmonic_sum_scaled"
+               " / 4503599627370496.0) * 10000) AS BIGINT)")
+    out["sketch_distinct_hll"] = f"""
+      WITH {hll_cte}
+      SELECT n_buckets_seen, harmonic_sum_scaled,
+             {hll_est} AS est_distinct_x4
+      FROM hll
+    """
+    # KMV replays the full sketch-guided two-pass: HLL estimate -> integer
+    # threshold (2^60 // n_est) * 8k (a no-op when n_est <= 8k) -> k=256
+    # smallest distinct hashes -> (k-1)/kth_min_normalized
+    out["sketch_distinct_kmv"] = f"""
+      WITH {hll_cte},
+      est AS (SELECT greatest(1, {hll_est} // 10000) AS n_est FROM hll),
+      topk AS (
+        SELECT DISTINCT h FROM h, est
+        WHERE n_est <= 2048
+           OR h <= (1152921504606846976 // n_est) * 8 * 256
+        ORDER BY h LIMIT 256)
+      SELECT count(*) AS n_hashes, max(h) AS kth_min_hash,
+             CAST(floor((count(*) - 1)
+                        / (max(h) / 1152921504606846976.0) * 10000)
+                  AS BIGINT) AS est_distinct_x4
+      FROM topk
+    """
+    out["sketch_heavy_hitters"] = """
+      WITH truth AS (
+        SELECT CAST(user_id AS VARCHAR) AS uid, count(*) AS true_count
+        FROM events GROUP BY 1),
+      probes AS (SELECT * FROM truth ORDER BY true_count DESC, uid LIMIT 20),
+      sk AS (
+        SELECT r.i AS row,
+               CAST(concat('0x', substr(md5(concat('cms', r.i, ':',
+                    CAST(user_id AS VARCHAR))), 1, 15)) AS BIGINT) % 256
+                 AS bucket,
+               count(*) AS cnt
+        FROM events, (SELECT unnest(range(0, 4)) AS i) r
+        GROUP BY 1, 2),
+      pc AS (
+        SELECT p.uid, p.true_count, r.i AS row,
+               CAST(concat('0x', substr(md5(concat('cms', r.i, ':', p.uid)),
+                    1, 15)) AS BIGINT) % 256 AS bucket
+        FROM probes p, (SELECT unnest(range(0, 4)) AS i) r)
+      SELECT pc.uid AS user_id, CAST(pc.true_count AS BIGINT) AS true_count,
+             CAST(min(coalesce(sk.cnt, 0)) AS BIGINT) AS cms_count
+      FROM pc LEFT JOIN sk USING (row, bucket)
+      GROUP BY 1, 2
+    """
+    # binned quantiles: every float expression written in the same shape
+    # and association as the Column code (IEEE doubles are deterministic
+    # when the op sequence matches); ranks in pure integers; floor() not
+    # CAST for the estimate (DuckDB's double->int cast rounds, Spark's
+    # truncates)
+    out["sketch_quantiles"] = """
+      WITH stats AS (SELECT min(value) AS lo, max(value) AS hi,
+                            count(*) AS n
+                     FROM events),
+      b AS (
+        SELECT least(1023, CAST(floor((value - lo) / ((hi - lo) / 1024))
+                                AS BIGINT)) AS bin, lo, hi, n
+        FROM events, stats),
+      bins AS (SELECT bin, lo, hi, n, count(*) AS c FROM b GROUP BY 1,2,3,4),
+      cum AS (
+        SELECT *, CAST(coalesce(sum(c) OVER (ORDER BY bin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cum_lo
+        FROM bins),
+      j AS (
+        SELECT cum.*, q.q_bps,
+               greatest(1::BIGINT,
+                        CAST(floor((q.q_bps * cum.n + 9999) / 10000)
+                             AS BIGINT)) AS rank
+        FROM cum, (SELECT unnest([5000, 9500, 9900]) AS q_bps) q)
+      SELECT CAST(q_bps AS INT) AS q_bps, bin AS bin_idx, cum_lo,
+             CAST(c AS BIGINT) AS in_bin,
+             CAST(floor((lo + bin * ((hi - lo) / 1024)
+                         + ((hi - lo) / 1024) * (rank - cum_lo) / c)
+                        * 10000) AS BIGINT) AS est_value_x4
+      FROM j
+      WHERE cum_lo < rank AND cum_lo + c >= rank
+      ORDER BY q_bps
+    """
     # SemDeDup: the unrolled-Lloyd assignment CTE (same as sim_ivf_kmeans)
     # wrapped as a subquery, then a within-cluster pair join
     out["dedup_semantic"] = f"""

@@ -1,0 +1,80 @@
+"""Sketch estimator sanity: parity with DuckDB is pinned by the oracle
+entries (tools/oracle_check.py / test_entry.py); these tests pin the
+ESTIMATOR guarantees — the part parity alone can't see (an estimator
+that's deterministically wrong in both engines would still hash-match)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from polipus_spark.functions.sketches import (
+    CMS_D,
+    CMS_W,
+    binned_quantiles,
+    cms_build,
+    cms_estimate,
+    hll_distinct,
+    kmv_distinct,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def _key():
+    return F.concat(F.col("user_id").cast("string"), F.lit(":"), F.col("event_type"))
+
+
+def test_hll_within_rse_band(spark, events):
+    true_n = events.select(_key().alias("k")).distinct().count()
+    est = hll_distinct(events, _key()).collect()[0]["est_distinct_x4"] / 10_000
+    # raw HLL relative standard error is 1.04/sqrt(64) ≈ 13%; allow 4 sigma
+    assert true_n * 0.5 < est < true_n * 1.5, (true_n, est)
+
+
+def test_kmv_close_and_threshold_path(spark, events):
+    true_n = events.select(_key().alias("k")).distinct().count()
+    row = kmv_distinct(events, _key(), k=64).collect()[0]
+    est = row["est_distinct_x4"] / 10_000
+    # KMV RSE ≈ 1/sqrt(k-2) ≈ 13% at k=64; allow 4 sigma
+    assert true_n * 0.5 < est < true_n * 1.5, (true_n, est)
+    assert row["n_hashes"] == min(64, true_n)
+    # force the HLL-threshold prefilter path with a tiny k: the filter must
+    # not change the answer, only the scanned volume
+    unfiltered = (
+        events.select(F.conv(F.substring(F.md5(_key()), 1, 15), 16, 10)
+                      .cast("bigint").alias("h"))
+        .dropDuplicates(["h"]).orderBy("h").limit(4).collect()
+    )
+    filtered = kmv_distinct(events, _key(), k=4).collect()[0]
+    assert filtered["kth_min_hash"] == unfiltered[-1]["h"]
+
+
+def test_cms_never_underestimates(spark, events):
+    key = F.col("user_id").cast("string")
+    sketch = cms_build(events, key)
+    assert sketch.count() <= CMS_D * CMS_W
+    truth = events.groupBy(key.alias("uid")).agg(F.count("*").alias("tc"))
+    est = cms_estimate(sketch, truth, F.col("uid"))
+    joined = truth.join(est, truth["uid"] == est["probe_key"]).select("tc", "cms_count")
+    n_rows = events.count()
+    for r in joined.collect():
+        # CMS is one-sided: estimate >= truth, overshoot bounded in
+        # expectation by d collisions of n/w each; 4 sigma slack
+        assert r["cms_count"] >= r["tc"]
+        assert r["cms_count"] - r["tc"] <= 16 * n_rows // CMS_W + 4
+
+
+def test_binned_quantiles_near_exact(spark, events):
+    rows = binned_quantiles(events, F.col("value")).collect()
+    assert [r["q_bps"] for r in rows] == [5000, 9500, 9900]
+    vals = sorted(r["value"] for r in events.select("value").collect())
+    lo, hi = vals[0], vals[-1]
+    bin_w = (hi - lo) / 1024
+    for r in rows:
+        exact = vals[min(len(vals) - 1, (r["q_bps"] * len(vals) + 9999) // 10_000 - 1)]
+        est = r["est_value_x4"] / 10_000
+        assert abs(est - exact) <= 2 * bin_w + 1e-9, (r["q_bps"], est, exact)

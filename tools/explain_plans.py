@@ -56,8 +56,11 @@ def main() -> None:
         "tpch_q1_style": "scan shows PushedFilters on l_shipdate and a pruned "
         "ReadSchema — Catalyst pushdown at work.",
         "dedup_embedding_lsh": "banded hyperplane LSH (the near-dup DEFAULT): "
-        "explode(band sketches) then an equi-join on the narrow (band, bucket) "
-        "key — candidates ∝ collisions, never an n² cross join.",
+        "ONE ArrowEvalPython/mapInPandas node computes all 128 sign bits per "
+        "vector as a numpy matmul (r4 — replaces the 8,200-literal-leaf "
+        "Column sketch that cost Catalyst minutes of analysis), then an "
+        "equi-join on the narrow (band, bucket) key — candidates ∝ "
+        "collisions, never an n² cross join.",
         "decontaminate": "benchmark 8-gram hash set broadcast; corpus explode "
         "joins map-side (BroadcastHashJoin LeftSemi) — only shuffle is the "
         "per-doc hit-count groupBy on the narrow id key.",
@@ -85,7 +88,14 @@ def main() -> None:
         "dedup_semantic": "SemDeDup: within-cluster pair join — the "
         "assignment equi-join on centroid_id keys the pair search, so "
         "pairwise work is sum over clusters of n_k², never a global n² "
-        "cross join.",
+        "cross join (clusters above hot_cluster_cap switch to banded-LSH "
+        "within the cluster — r4).",
+        "sim_ivf_topk_quantized": "quantized IVF serving layout (r4): the "
+        "scoring scan's ReadSchema carries (vec_id, q, scale) — the float "
+        "embedding column is PRUNED (≈4× fewer scan bytes than float32) — "
+        "and both scans keep the dynamicpruning PartitionFilters on "
+        "centroid_id; the float column is read only by the exact re-rank "
+        "join over the k·overfetch candidate set.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
