@@ -882,6 +882,56 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decoding (r4): build a real 4×4 RGB PNG per
+    doc — zlib-compressed IDAT, CRC'd chunks, scanlines under filter type 1
+    (Sub) with 48 md5-derived raster bytes — then decode it with the
+    stdlib+numpy PNG decoder (inflate + per-lane unfilter) and emit exact
+    channel sums. The DuckDB oracle never parses PNG: it replays the Sub
+    reconstruction directly as a cumulative byte sum mod 256 per (row,
+    lane) over the same md5 hex — so inflate(deflate(x)) == x and the
+    filter arithmetic are both pinned bit-for-bit. Payload generation is a
+    pandas UDF (zlib/struct per row: test scaffolding, not the operator)."""
+    import binascii
+    import struct
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from polipus_spark.functions.multimodal import image_stats
+
+    # no type hints: PEP-563 stringized 'pd.Series' can't be resolved by
+    # the hint inference with pandas imported locally; the untyped form
+    # takes the classic SCALAR path
+    @F.pandas_udf(T.BinaryType())
+    def _png(hexes):
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+
+        out = []
+        for hx in hexes:
+            raw = bytes.fromhex(hx)  # 48 bytes = 4 rows × 4 px × RGB
+            scan = b"".join(
+                b"\x01" + raw[r * 12 : (r + 1) * 12] for r in range(4)
+            )
+            ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+            out.append(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                       + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+        return pd.Series(out)
+
+    d = _docs(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    hexbody = F.concat(F.md5(F.concat(s, F.lit("p1"))),
+                       F.md5(F.concat(s, F.lit("p2"))),
+                       F.md5(F.concat(s, F.lit("p3"))))
+    media = d.select("doc_id", _png(hexbody).alias("payload"))
+    return image_stats(media).select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session ids per user (lag + cumsum)."""
     e = _events(spark, sf_dir)
@@ -991,6 +1041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct_kmv": q_sketch_distinct_kmv,
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_quantiles": q_sketch_quantiles,
+        "png_decode_stats": q_png_decode_stats,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -2008,6 +2059,31 @@ def oracle_sql() -> dict[str, str]:
     # by construction: the true top-k must survive the k·overfetch cut)
     out["sim_ivf_topk_indexed"] = out["sim_ivf_topk"]
     out["sim_ivf_topk_quantized"] = out["sim_ivf_topk"]
+    # PNG decode (r4): the oracle replays Sub-filter (type 1)
+    # reconstruction — recon[x] = cumulative sum of raster bytes mod 256
+    # along x per (row, byte-lane) — over the same 48 md5-derived bytes the
+    # Spark side zlib-compresses into a real PNG and decodes for real.
+    # byte j: row = j//12, pixel x = (j%12)//3, lane (R/G/B) = j%3.
+    out["png_decode_stats"] = """
+      WITH hx AS (
+        SELECT doc_id, md5(s || 'p1') || md5(s || 'p2') || md5(s || 'p3') AS h
+        FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s FROM documents)),
+      b AS (
+        SELECT doc_id, j,
+               CAST(concat('0x', substr(h, CAST(j*2+1 AS INT), 2)) AS INT) AS v,
+               j // 12 AS row, (j % 12) // 3 AS x, j % 3 AS lane
+        FROM hx, unnest(range(0, 48)) AS t(j)),
+      r AS (
+        SELECT doc_id, lane,
+               CAST(sum(v) OVER (PARTITION BY doc_id, row, lane
+                                 ORDER BY x) % 256 AS BIGINT) AS recon
+        FROM b)
+      SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+             CAST(sum(CASE WHEN lane = 0 THEN recon END) AS BIGINT) AS sum_r,
+             CAST(sum(CASE WHEN lane = 1 THEN recon END) AS BIGINT) AS sum_g,
+             CAST(sum(CASE WHEN lane = 2 THEN recon END) AS BIGINT) AS sum_b
+      FROM r GROUP BY doc_id
+    """
     # --- deterministic sketches (r4, polipus_spark/functions/sketches.py) ---
     # shared HLL registers: 60-bit md5 hash, bucket = h % 64, rho = leading
     # zeros of the high 54 bits + 1 (bin() = Spark conv(...,10,2): minimal

@@ -615,6 +615,133 @@ def test_decode_bmp_real():
         decode_image(header + pixels[:5])
 
 
+def _png_encode(img, filters):
+    """Minimal PNG encoder for the decoder test: applies the per-row
+    inverse filter (what a real encoder does), splits IDAT in two chunks
+    and inserts an ancillary tEXt chunk to exercise the chunk walk."""
+    import binascii
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(int)
+    prev = np.zeros(stride, dtype=int)
+    scan = bytearray()
+    for r, ftype in zip(range(h), filters):
+        rec = flat[r]
+        left = np.concatenate([np.zeros(ch, dtype=int), rec[:-ch]])
+        if ftype == 0:
+            line = rec % 256
+        elif ftype == 1:
+            line = (rec - left) % 256
+        elif ftype == 2:
+            line = (rec - prev) % 256
+        elif ftype == 3:
+            line = (rec - (left + prev) // 2) % 256
+        else:  # Paeth
+            line = np.empty(stride, dtype=int)
+            for x in range(stride):
+                a = int(left[x])
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (int(rec[x]) - pred) % 256
+        scan += bytes([ftype]) + bytes(line.astype(np.uint8))
+        prev = rec
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF))
+
+    z = zlib.compress(bytes(scan))
+    half = len(z) // 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2 if ch == 3 else 6, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"tEXt", b"Comment\x00t") + chunk(b"IDAT", z[:half])
+            + chunk(b"IDAT", z[half:]) + chunk(b"IEND", b""))
+
+
+def test_decode_png_real():
+    """r4: 8-bit truecolor PNG decodes for REAL — zlib inflate, chunk walk
+    (split IDAT, ancillary skip), all five scanline filters reconstructed.
+    Roundtrip a random image with one row per filter type."""
+    from polipus_spark.functions.multimodal import decode_image, decode_png
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 4, 3)).astype(np.uint8)
+    payload = _png_encode(img, filters=[0, 1, 2, 3, 4])
+    out = decode_png(payload)
+    assert out.shape == (5, 4, 3) and out.dtype == np.uint8
+    assert np.array_equal(out, img)
+    assert np.array_equal(decode_image(payload), img)
+
+    # RGBA: decode_png keeps alpha, decode_image drops it
+    rgba = rng.randint(0, 256, size=(3, 3, 4)).astype(np.uint8)
+    p4 = _png_encode(rgba, filters=[4, 3, 1])
+    assert np.array_equal(decode_png(p4), rgba)
+    assert np.array_equal(decode_image(p4), rgba[:, :, :3])
+
+    # error paths stay ValueError (image_stats catches → null row)
+    import struct
+
+    with pytest.raises(ValueError, match="truecolor"):
+        # flip color type to 3 (palette) inside IHDR
+        bad = payload.replace(struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0),
+                              struct.pack(">IIBBBBB", 4, 5, 8, 3, 0, 0, 0))
+        decode_png(bad)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        # chop mid-IDAT: complete 8-byte chunk header, short data
+        decode_png(payload[: payload.index(b"IDAT") + 5])
+    with pytest.raises(ValueError, match="missing IHDR or IDAT"):
+        decode_png(payload[:8])
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX" + payload[4:])
+    # short inflated stream (one scanline chopped off)
+    short = _png_encode(img, filters=[0, 1, 2, 3, 4])
+    import zlib
+
+    scan_full = zlib.decompress(
+        b"".join(_iter_idat(short))
+    )
+    with pytest.raises(ValueError, match="truncated PNG scanline"):
+        decode_png(_rebuild_png_idat(short, zlib.compress(scan_full[:-13])))
+
+
+def _iter_idat(payload):
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        if typ == b"IDAT":
+            yield payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+
+
+def _rebuild_png_idat(payload, new_idat):
+    """Copy a PNG, replacing all IDAT chunks with one new one."""
+    import binascii
+    import struct
+
+    out, pos, done = bytearray(payload[:8]), 8, False
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack_from(">I4s", payload, pos)
+        if typ == b"IDAT":
+            if not done:
+                out += (struct.pack(">I", len(new_idat)) + b"IDAT" + new_idat
+                        + struct.pack(">I",
+                                      binascii.crc32(b"IDAT" + new_idat)
+                                      & 0xFFFFFFFF))
+                done = True
+        else:
+            out += payload[pos : pos + 12 + ln]
+        pos += 12 + ln
+    return bytes(out)
+
+
 def test_decode_wav_real():
     """r4: 16-bit PCM WAV decodes for REAL — RIFF chunk walk (unknown
     chunks skipped, word alignment), little-endian int16 view, channel

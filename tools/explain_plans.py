@@ -96,6 +96,15 @@ def main() -> None:
         "and both scans keep the dynamicpruning PartitionFilters on "
         "centroid_id; the float column is read only by the exact re-rank "
         "join over the k·overfetch candidate set.",
+        "sketch_distinct_hll": "deterministic HLL (r4): the whole plan is "
+        "one HashAggregate pair over ≤64 bucket ids — partial max(rho) "
+        "map-side, 64-row exchange, final max + exact-integer harmonic "
+        "sum. Nothing proportional to input size crosses the shuffle: "
+        "count-distinct at 100 TB for 64 rows of traffic.",
+        "sketch_heavy_hitters": "count-min heavy hitters (r4): sketch side "
+        "is one HashAggregate over ≤1024 (row, bucket) cells; the probe "
+        "side joins it as a BroadcastHashJoin — the only exchange "
+        "proportional to anything is the 20-row probe groupBy.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
