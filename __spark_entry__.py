@@ -932,6 +932,45 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decoding + frame sampling (r4): build a real 5-frame
+    2×2 C444 YUV4MPEG2 clip per doc (header line, FRAME markers, raw
+    planar YUV — 12 md5-derived bytes per frame), then decode it with the
+    stdlib+numpy Y4M decoder sampling every 2nd frame (0, 2, 4) and emit
+    exact Y/U/V plane sums over the sampled frames. The DuckDB oracle
+    never parses Y4M: raw planar video has no compression, so it re-derives
+    the same bytes from the md5 hex and replays the sampling filter
+    (i % 2 = 0) — decode, plane geometry, and sampling all pinned
+    bit-for-bit. Payload generation is a pandas UDF (test scaffolding,
+    not the operator)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from polipus_spark.functions.multimodal import video_stats
+
+    @F.pandas_udf(T.BinaryType())
+    def _y4m(hexes):
+        out = []
+        for hx in hexes:
+            raw = bytes.fromhex(hx)  # 5 frames × 16 B md5; 12 used each
+            body = b"".join(
+                b"FRAME\n" + raw[i * 16 : i * 16 + 12] for i in range(5)
+            )
+            out.append(b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n" + body)
+        return pd.Series(out)
+
+    d = _docs(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    hexbody = F.concat(*[
+        F.md5(F.concat(s, F.lit(f"f{i}"))) for i in range(5)
+    ])
+    media = d.select("doc_id", _y4m(hexbody).alias("payload"))
+    return video_stats(media, every_n=2).select(
+        "doc_id", "width", "height", "n_frames", "n_sampled",
+        "sum_y", "sum_u", "sum_v",
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session ids per user (lag + cumsum)."""
     e = _events(spark, sf_dir)
@@ -1042,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_quantiles": q_sketch_quantiles,
         "png_decode_stats": q_png_decode_stats,
+        "video_frame_stats": q_video_frame_stats,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -2083,6 +2123,28 @@ def oracle_sql() -> dict[str, str]:
              CAST(sum(CASE WHEN lane = 1 THEN recon END) AS BIGINT) AS sum_g,
              CAST(sum(CASE WHEN lane = 2 THEN recon END) AS BIGINT) AS sum_b
       FROM r GROUP BY doc_id
+    """
+    # Y4M video decode + frame sampling (r4): raw planar video has no
+    # compression, so the oracle re-derives the frame bytes straight from
+    # the md5 hex and replays the every-2nd-frame sampling. Frame i's 12
+    # bytes live at hex offset i*32 (each md5 contributes 16 bytes, 12
+    # used); byte j's lane is j//4 (2×2 C444 planes: Y=0-3, U=4-7, V=8-11).
+    out["video_frame_stats"] = """
+      WITH f AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || 'f' || CAST(i AS VARCHAR)) AS h
+        FROM documents, unnest(range(0, 5)) AS t(i)
+        WHERE i % 2 = 0),
+      b AS (
+        SELECT doc_id, j // 4 AS lane,
+               CAST(concat('0x', substr(h, CAST(j*2+1 AS INT), 2)) AS INT) AS v
+        FROM f, unnest(range(0, 12)) AS t(j))
+      SELECT doc_id, CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+             CAST(5 AS INT) AS n_frames, CAST(3 AS INT) AS n_sampled,
+             CAST(sum(CASE WHEN lane = 0 THEN v END) AS BIGINT) AS sum_y,
+             CAST(sum(CASE WHEN lane = 1 THEN v END) AS BIGINT) AS sum_u,
+             CAST(sum(CASE WHEN lane = 2 THEN v END) AS BIGINT) AS sum_v
+      FROM b GROUP BY doc_id
     """
     # --- deterministic sketches (r4, polipus_spark/functions/sketches.py) ---
     # shared HLL registers: 60-bit md5 hash, bucket = h % 64, rho = leading

@@ -774,6 +774,72 @@ def test_decode_wav_real():
         decode_wav(bad)
 
 
+def test_decode_y4m_real():
+    """r4: YUV4MPEG2 video decodes for REAL — header tokens, FRAME markers
+    (with and without params), planar geometry per colorspace."""
+    from polipus_spark.functions.multimodal import decode_y4m
+
+    y = bytes(range(4))            # 2×2 luma
+    u, v = b"\x10\x20\x30\x40", b"\x50\x60\x70\x80"
+    # C444: full chroma planes; second FRAME carries a parameter
+    p = (b"YUV4MPEG2 W2 H2 F30000:1001 Ip A1:1 C444\n"
+         + b"FRAME\n" + y + u + v
+         + b"FRAME Xparam\n" + y[::-1] + u + v)
+    w, h, fps, frames = decode_y4m(p)
+    assert (w, h, fps) == (2, 2, (30000, 1001))
+    assert len(frames) == 2
+    assert frames[0][0].tolist() == [[0, 1], [2, 3]]
+    assert frames[1][0].tolist() == [[3, 2], [1, 0]]
+    assert frames[0][1].tolist() == [[0x10, 0x20], [0x30, 0x40]]
+    assert frames[0][2].tolist() == [[0x50, 0x60], [0x70, 0x80]]
+
+    # C420 (also the default when C is absent): quarter chroma planes
+    p420 = b"YUV4MPEG2 W2 H2 F25:1\nFRAME\n" + y + b"\xAA" + b"\xBB"
+    _, _, _, fr = decode_y4m(p420)
+    assert fr[0][0].shape == (2, 2)
+    assert fr[0][1].tolist() == [[0xAA]] and fr[0][2].tolist() == [[0xBB]]
+    # C422: half-width chroma
+    p422 = b"YUV4MPEG2 W2 H2 C422\nFRAME\n" + y + b"\x01\x02" + b"\x03\x04"
+    _, _, _, fr = decode_y4m(p422)
+    assert fr[0][1].tolist() == [[1], [2]]
+
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        decode_y4m(b"RIFF" + p[4:])
+    with pytest.raises(ValueError, match="truncated Y4M header"):
+        decode_y4m(b"YUV4MPEG2 W2 H2")
+    with pytest.raises(ValueError, match="missing W or H"):
+        decode_y4m(b"YUV4MPEG2 W2\nFRAME\n" + y)
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 Cmono\nFRAME\n" + y)
+    with pytest.raises(ValueError, match="bad Y4M header token"):
+        decode_y4m(b"YUV4MPEG2 W2 Hx\nFRAME\n" + y)
+    with pytest.raises(ValueError, match="truncated Y4M frame data"):
+        decode_y4m(p[:-1])
+    with pytest.raises(ValueError, match="bad Y4M FRAME marker"):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C444\nFRAMX\n" + y + u + v)
+
+
+def test_video_stats_sampling_and_null(spark):
+    """video_stats: every_n sampling picks frames 0, n, 2n…; sums cover
+    only sampled frames; undecodable payloads yield null stats rows."""
+    from polipus_spark.functions.multimodal import video_stats
+
+    y = bytes([10, 20, 30, 40])
+    frame = b"FRAME\n" + y + b"\x01\x02\x03\x04" + b"\x05\x06\x07\x08"
+    clip = b"YUV4MPEG2 W2 H2 C444\n" + frame * 5
+    media = spark.createDataFrame(
+        [("a", bytearray(clip)), ("bad", bytearray(b"MP4 box"))],
+        "doc_id string, payload binary")
+    rows = {r["doc_id"]: r for r in video_stats(media, every_n=2).collect()}
+    a = rows["a"]
+    assert (a["width"], a["height"]) == (2, 2)
+    assert (a["n_frames"], a["n_sampled"]) == (5, 3)
+    assert a["sum_y"] == 100 * 3 and a["sum_u"] == 10 * 3 and a["sum_v"] == 26 * 3
+    assert rows["bad"]["width"] is None and rows["bad"]["sum_y"] is None
+    with pytest.raises(ValueError, match="every_n"):
+        video_stats(media, every_n=0)
+
+
 def test_audio_stats_mono_and_null(spark):
     """audio_stats: mono leaves sum_abs_r null; undecodable payloads yield
     all-null stats instead of killing the job; |−32768| sums in int64."""
