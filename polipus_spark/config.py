@@ -48,6 +48,9 @@ class CrawlOptions:
                                          # None disables
     storage_enabled: bool = True      # devnull storage when False (storage/dev_null.rb)
     storage_except_cols: list[str] = field(default_factory=list)  # X11 (mongo_store.rb:27)
+    compress_body: bool = False       # X8 (mongo_store.rb:29): store spans as
+                                      # zlib-deflated JSON (spans_z binary),
+                                      # inflated+re-parsed on pages_df() read
     retry_limit: int = 0              # O6: re-enqueue error pages ≤ N times
                                       # (http.rb:217 retries / examples/error_handling.rb)
     max_waves: int | None = None      # safety stop for tests

@@ -95,6 +95,45 @@ def inflate_body(body: Column, content_encoding: Column) -> Column:
     return pandas_udf(_inflate_pd, T.BinaryType())(body, content_encoding)
 
 
+def _deflate_pd(text):
+    import zlib
+
+    import pandas as pd
+
+    return pd.Series(
+        [None if t is None else zlib.compress(t.encode("utf-8")) for t in text]
+    )
+
+
+def deflate_body(text: Column) -> Column:
+    """X8: opt-in body compression before the store write
+    (mongo_store.rb:29 / rethink_store.rb:33 ``Zlib::Deflate.deflate`` when
+    ``compress_body``). Arrow-batched pandas UDF: utf-8 string → zlib-wrapped
+    binary, matching Ruby's Zlib default stream format."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_deflate_pd, T.BinaryType())(text)
+
+
+def _inflate_str_pd(body):
+    import zlib
+
+    import pandas as pd
+
+    return pd.Series(
+        [None if b is None else zlib.decompress(bytes(b)).decode("utf-8")
+         for b in body]
+    )
+
+
+def inflate_stored_body(body: Column) -> Column:
+    """X8 read path (mongo_store.rb:70-77 ``Zlib::Inflate`` on load): the
+    stored zlib binary → utf-8 string."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(_inflate_str_pd, T.StringType())(body)
+
+
 def sample_user_agent(url: Column, user_agents: list[str]) -> Column:
     """X9: deterministic UA pick — element_at(list, hash(url) % n + 1)."""
     if len(user_agents) == 1:

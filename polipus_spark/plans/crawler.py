@@ -272,6 +272,18 @@ class PolipusCrawler:
         st = self.pages.read_latest_by(["uuid"], order_extra=["wave", "seq"])
         if "_deleted" in st.columns:
             st = st.where(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+        if "spans_z" in st.columns:
+            # X8 read path (mongo_store.rb:70-77): inflate + re-parse the
+            # deflated span JSON. Lazy per-row and projection-pruned —
+            # consumers that never select spans never pay the inflate.
+            from polipus_spark.functions.serde import inflate_stored_body
+            from polipus_spark.sources.corpus import DOCS_SCHEMA
+
+            st = st.withColumn(
+                "spans",
+                F.from_json(inflate_stored_body(F.col("spans_z")),
+                            DOCS_SCHEMA["spans"].dataType),
+            ).drop("spans_z")
         return st
 
     def remove_pages(self, uuids) -> None:
@@ -485,6 +497,17 @@ class PolipusCrawler:
             .drop(*[c for c in o.storage_except_cols])  # X11 (mongo_store.rb:27)
             .withColumn("_deleted", F.lit(False))  # MoR delete marker
         )
+        if o.compress_body and "spans" in page_rows.columns:
+            # X8 (mongo_store.rb:29): deflate the body before the store
+            # write. Body analog = the spans array, serialized to JSON then
+            # zlib-deflated into a binary column; _pages_state inflates and
+            # re-parses on read, so pages_df() round-trips the exact span
+            # sequence (kind, text, media_ref, offset order preserved).
+            from polipus_spark.functions.serde import deflate_body
+
+            page_rows = page_rows.withColumn(
+                "spans_z", deflate_body(F.to_json("spans"))
+            ).drop("spans")
         if o.storage_enabled is False:
             m["stored"] = 0
         elif self.on_before_save:

@@ -274,3 +274,37 @@ def test_error_retry_parity(spark, work_dir):
     sim_m = [(m["wave"], m["retried"], m["stored"]) for m in sim.metrics
              if m["scheduled"] > 0]
     assert retried_m == sim_m
+
+
+def test_compress_body_roundtrip(spark, work_dir, tmp_path):
+    """X8 (mongo_store.rb:29): compress_body stores spans as zlib-deflated
+    JSON (spans_z binary) and pages_df() inflates + re-parses on read —
+    span-sequence equality (kind, text, media_ref, offset) with the
+    uncompressed store, plus full sim parity through the compressed path."""
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=5, with_redirect_chain=False)
+    opts_z = CrawlOptions(depth_limit=1, max_waves=10, compress_body=True)
+    sim, cz = run_both(spark, work_dir, docs, opts_z, SEEDS)
+    assert_parity(sim, cz)
+
+    # physical layout: the stored table carries spans_z binary, not spans
+    raw_cols = cz.pages.read().columns
+    assert "spans_z" in raw_cols and "spans" not in raw_cols
+
+    # byte-exact span sequences vs an uncompressed crawl of the same corpus
+    opts_plain = CrawlOptions(depth_limit=1, max_waves=10)
+    cp = PolipusCrawler(spark, corpus_df(spark, docs), opts_plain,
+                        str(tmp_path / "plain"))
+    cp.takeover(SEEDS)
+
+    def span_map(c):
+        return {
+            r["uuid"]: r["sp"]
+            for r in c.pages_df()
+            .select("uuid", F.to_json("spans").alias("sp")).collect()
+        }
+
+    assert span_map(cz) == span_map(cp)
+
+    # compaction + remove keep working over the compressed schema
+    cz.remove_pages([next(iter(span_map(cz)))])
+    assert cz.pages_df().count() == cp.pages_df().count() - 1
