@@ -648,6 +648,21 @@ def q_sim_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                             k=5, n_probe=2)
 
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (r4): train m=4 sub-codebooks (K=4, 2 Lloyd
+    iterations, all subspaces in ONE grouped dataflow), encode the corpus to
+    4 small ints per vector, and serve top-5 per query by ADC — the float
+    embeddings are never read at query time. The oracle replays subspace
+    slicing, the unrolled grouped Lloyd, encoding, and the ADC table lookup
+    in DuckDB (list_distance / list_inner_product)."""
+    from polipus_spark.functions.similarity import pq_encode, pq_topk, pq_train
+
+    emb = _emb(spark, sf_dir)
+    cb = pq_train(emb, m=4, n_codes=4, n_iter=2)
+    codes = pq_encode(emb, cb, m=4)
+    return pq_topk(emb.where(F.col("vec_id") < 8), codes, cb, m=4, k=5)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: pairwise cosine restricted to
     k-means clusters (3 Lloyd iterations) — pairwise work ~n²/K and each
@@ -1082,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantiles": q_sketch_quantiles,
         "png_decode_stats": q_png_decode_stats,
         "video_frame_stats": q_video_frame_stats,
+        "sim_pq_topk": q_sim_pq_topk,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -1302,6 +1318,74 @@ def _kmeans_assign_sql(n_iter: int = 3, k: int = 8) -> str:
                    ORDER BY list_cosine_similarity(e.v, c.cent) DESC,
                             c.cid ASC) AS _rn
           FROM ev e, c{n_iter} c) WHERE _rn = 1""")
+    return "\n".join(parts)
+
+
+def _pq_topk_sql(m: int = 4, k_codes: int = 4, n_iter: int = 2,
+                 sub: int = 16, n_q: int = 8, k: int = 5) -> str:
+    """Unrolled oracle for sim_pq_topk: replay pq_train / pq_encode /
+    pq_topk (similarity.py) — subspace slicing, the grouped Lloyd over all
+    m subspaces at once (argmin L2, per-(subspace, code, pos) means, empty
+    codes keep their centroid), encoding with the final codebooks, and the
+    ADC table-lookup sum. Ordering parity: list_distance is monotone with
+    the Spark side's squared distance; exact score ties (vectors sharing
+    all m codes) sum the same per-(query, subspace, code) parts in subspace
+    order in both engines, so the neighbor_id tiebreak agrees."""
+    parts = [
+        "WITH ev AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        f"sr AS (SELECT vec_id, j AS subspace,"
+        f" list_slice(v, j*{sub} + 1, (j+1)*{sub}) AS sv"
+        f" FROM ev, unnest(range(0, {m})) AS t(j)),",
+        f"c0 AS (SELECT subspace, vec_id AS cid, sv AS cent FROM sr"
+        f" WHERE vec_id IN (SELECT vec_id FROM embeddings"
+        f" ORDER BY vec_id LIMIT {k_codes}))",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        a{i} AS (
+          SELECT vec_id, subspace, cid, sv FROM (
+            SELECT s.vec_id, s.subspace, c.cid, s.sv,
+                   row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                     ORDER BY list_distance(s.sv, c.cent) ASC,
+                              c.cid ASC) AS _rn
+            FROM sr s JOIN c{i - 1} c USING (subspace)) WHERE _rn = 1),
+        m{i} AS (
+          SELECT subspace, cid, pos, avg(val) AS mean FROM (
+            SELECT subspace, cid, unnest(sv) AS val,
+                   unnest(range(1, len(sv) + 1)) AS pos
+            FROM a{i})
+          GROUP BY subspace, cid, pos),
+        c{i} AS (
+          SELECT c.subspace, c.cid, COALESCE(nc.cent, c.cent) AS cent
+          FROM c{i - 1} c
+          LEFT JOIN (SELECT subspace, cid, list(mean ORDER BY pos) AS cent
+                     FROM m{i} GROUP BY subspace, cid) nc
+            USING (subspace, cid))""")
+    parts.append(f""",
+        enc AS (
+          SELECT vec_id, subspace, cid FROM (
+            SELECT s.vec_id, s.subspace, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                     ORDER BY list_distance(s.sv, c.cent) ASC,
+                              c.cid ASC) AS _rn
+            FROM sr s JOIN c{n_iter} c USING (subspace)) WHERE _rn = 1),
+        tab AS (
+          SELECT q.vec_id AS query_id, c.subspace, c.cid,
+                 list_inner_product(q.sv, c.cent) AS part
+          FROM sr q JOIN c{n_iter} c USING (subspace)
+          WHERE q.vec_id < {n_q}),
+        s AS (
+          SELECT t.query_id, e.vec_id AS neighbor_id,
+                 list_sum(list(t.part ORDER BY t.subspace)) AS score
+          FROM enc e JOIN tab t USING (subspace, cid)
+          WHERE t.query_id != e.vec_id
+          GROUP BY t.query_id, e.vec_id)
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM s) WHERE rank <= {k}""")
     return "\n".join(parts)
 
 
@@ -1690,6 +1774,8 @@ def oracle_sql() -> dict[str, str]:
           FROM seqs
         """,
         "sim_ivf_kmeans": _kmeans_assign_sql(n_iter=3, k=8),
+        "sim_pq_topk": _pq_topk_sql(m=4, k_codes=4, n_iter=2, sub=16,
+                                    n_q=8, k=5),
         "media_decode_stats": """
           SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
                  CAST(list_sum(list_transform(range(0, 16),

