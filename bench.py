@@ -257,6 +257,9 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "dedup_embedding_lsh", "sim_ivf_topk_quantized", "audio_stats",
         "sketch_distinct_hll", "sketch_distinct_kmv", "sketch_heavy_hitters",
         "sketch_quantiles",
+        # r4 additions, second batch: PQ serving path and the real
+        # PNG / Y4M-video decoders
+        "sim_pq_topk", "png_decode_stats", "video_frame_stats",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

@@ -105,6 +105,12 @@ def main() -> None:
         "is one HashAggregate over ≤1024 (row, bucket) cells; the probe "
         "side joins it as a BroadcastHashJoin — the only exchange "
         "proportional to anything is the 20-row probe groupBy.",
+        "sim_pq_topk": "product quantization (r4): every codebook join is "
+        "a BroadcastHashJoin against the m·K codebook / Q·m·K ADC-table "
+        "rows; the corpus-proportional work is the explode to (vec, "
+        "subspace) rows and ONE (query, vec) partial-agg sum — the float "
+        "embedding column is read only by training/encoding, never by the "
+        "serving lookup.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
