@@ -67,16 +67,30 @@ def perm_coeffs(i: int) -> tuple[int, int]:
 
 
 def minhash_signature(text: Column, n_perm: int = 16, shingle_k: int = 3) -> Column:
-    """Array of n_perm minhash values (bigint) for the document."""
-    base = F.transform(word_shingles(text, shingle_k), lambda s: h28_str(s))
-    sig = []
-    for i in range(n_perm):
-        a, b = perm_coeffs(i)
-        permuted = F.transform(
-            base, lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31)
-        )
-        sig.append(F.array_min(permuted))
-    return F.array(*sig)
+    """Array of n_perm minhash values (bigint) for the document.
+
+    The md5-hashed shingle array is computed ONCE per row and bound as a
+    higher-order-function lambda variable (``transform(array(hashed), h ->
+    ...)``) that all n_perm affine-min expressions reference. Referencing
+    the hashed-array *expression* n_perm times instead would make
+    CollapseProject inline a full md5-of-every-shingle pass into each copy —
+    measured 121 s vs 8.9 s for the LSH pair join at sf0.1 (the same
+    Catalyst common-subexpression trap as r3's hyperplane-sketch bomb, one
+    layer down)."""
+    hashed = F.transform(word_shingles(text, shingle_k), lambda s: h28_str(s))
+
+    def mins(h: Column) -> Column:
+        out = []
+        for i in range(n_perm):
+            a, b = perm_coeffs(i)
+            out.append(
+                F.array_min(
+                    F.transform(h, lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(MERSENNE31))
+                )
+            )
+        return F.array(*out)
+
+    return F.element_at(F.transform(F.array(hashed), mins), 1)
 
 
 def minhash_bands(sig: Column, n_bands: int = 4, rows_per_band: int = 4) -> list[Column]:
@@ -123,19 +137,49 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     rows_per_band: int = 4,
     shingle_k: int = 3,
+    sig_form: str = "column",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a < id_b) sharing ≥1 band bucket.
 
     Shuffle profile at scale: one explode to (band, bucket, id) — cardinality
     n_docs × n_bands — then a groupBy-join on bucket; hot buckets are bounded
     because identical-text clusters collapse to one bucket per band.
+
+    ``sig_form`` picks the signature dataflow (both produce identical
+    values — pinned by a bit-equality test; both ~5 s at sf0.1):
+
+      * ``"column"`` (default) — :func:`minhash_signature` computes the
+        whole signature inside one row (md5 pass bound once per row), then
+        an explicit hash repartition on id materializes the (id, 16-int
+        sig) rows before banding. The only data that ever crosses the wire
+        is ~136 B per DOCUMENT; at 100 TB that shuffle is ~0.1 % of corpus
+        bytes. Per-row memory is ∝ document length (a shingle array per
+        row).
+      * ``"agg"`` — :func:`minhash_signature_agg`, explode + partial-min
+        aggregate: shuffles every (doc, shingle-hash) row — traffic ∝
+        corpus bytes — but never widens a row; the safe path if single
+        documents can reach GBs.
     """
     n_perm = n_bands * rows_per_band
-    sigs = minhash_signature_agg(docs, id_col, text_col, n_perm, shingle_k)
+    if sig_form == "column":
+        # The repartition barrier does double duty: it materializes the
+        # signature expression ONCE (the banding projection then references
+        # a cheap attribute, not the md5 pipeline) and it spreads the rows
+        # across the cluster even when the input had few splits.
+        sigs = docs.select(
+            F.col(id_col).alias("id"),
+            minhash_signature(F.col(text_col), n_perm, shingle_k).alias("_sig"),
+        ).repartition(F.col("id"))
+        m = lambda i: F.element_at(F.col("_sig"), i + 1)  # noqa: E731
+    elif sig_form == "agg":
+        sigs = minhash_signature_agg(docs, id_col, text_col, n_perm, shingle_k)
+        m = lambda i: F.col(f"m{i}")  # noqa: E731
+    else:
+        raise ValueError(f"unknown sig_form {sig_form!r}")
     bands = []
     for bnd in range(n_bands):
         cols = [
-            F.col(f"m{i}").cast("string")
+            m(i).cast("string")
             for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
         ]
         bands.append(F.concat_ws("_", *cols))
