@@ -663,6 +663,29 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb.where(F.col("vec_id") < 8), codes, cb, m=4, k=5)
 
 
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (r4): the full FAISS-style 100 TB serving
+    layout — coarse centroids partition the corpus on disk (DPP probe
+    prunes to n_probe/K of the lists), PQ codes over RESIDUALS
+    x − c_coarse(x) score candidates reading only (codes, nrm) ≈ m+9
+    bytes/vector, and an exact float re-rank touches k·overfetch rows.
+    The oracle unrolls the whole thing (_ivfpq_sql): coarse assign,
+    residuals, grouped-Lloyd PQ training, encoding, per-(query, list)
+    ADC over query residuals, the overfetch cut, and the float re-rank."""
+    import tempfile
+
+    from polipus_spark.functions.similarity import build_ivfpq_index, ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    key = (sf_dir, "ivfpq")
+    if key not in _IVF_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="polipus_ivfpq_entry_")
+        build_ivfpq_index(emb, idx, n_centroids=8, m=4, n_codes=4, n_iter=2)
+        _IVF_INDEX_CACHE[key] = idx
+    return ivfpq_topk(spark, emb.where(F.col("vec_id") < 8),
+                      _IVF_INDEX_CACHE[key], m=4, k=5, n_probe=2, overfetch=8)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: pairwise cosine restricted to
     k-means clusters (3 Lloyd iterations) — pairwise work ~n²/K and each
@@ -1098,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_decode_stats": q_png_decode_stats,
         "video_frame_stats": q_video_frame_stats,
         "sim_pq_topk": q_sim_pq_topk,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -1386,6 +1410,133 @@ def _pq_topk_sql(m: int = 4, k_codes: int = 4, n_iter: int = 2,
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY score DESC, neighbor_id ASC) AS rank
           FROM s) WHERE rank <= {k}""")
+    return "\n".join(parts)
+
+
+def _ivfpq_sql(k_coarse: int = 8, m: int = 4, k_codes: int = 4,
+               n_iter: int = 2, sub: int = 16, n_q: int = 8, k: int = 5,
+               n_probe: int = 2, overfetch: int = 8) -> str:
+    """Unrolled oracle for sim_ivfpq_topk: replay build_ivfpq_index /
+    ivfpq_topk (similarity.py) end to end — coarse seed centroids + cosine
+    assignment, residuals x − c_coarse(x) in double, the grouped-Lloyd PQ
+    training over the residual subspaces (same iteration block as
+    _pq_topk_sql), encoding, the per-(query, probed-list) ADC table over
+    QUERY residuals, approx = (q·c + Σⱼ partⱼ in subspace order)/‖x‖,
+    the k·overfetch candidate cut, and the exact float-cosine re-rank.
+    Determinism: every rank cut orders by (score, id); exact score ties sum
+    identical parts in subspace order in both engines; assignment /
+    candidate margins dwarf ULP noise (verified at sf0.001/0.01/0.1)."""
+    parts = [
+        "WITH ev AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),",
+        f"cents AS (SELECT vec_id AS centroid_id, embedding AS cent"
+        f" FROM embeddings ORDER BY vec_id LIMIT {k_coarse}),",
+        "centd AS (SELECT centroid_id,"
+        " list_transform(cent, x -> CAST(x AS DOUBLE)) AS cd FROM cents),",
+        """assign AS (
+          SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                              c.centroid_id ASC) AS _rn
+            FROM embeddings e, cents c) WHERE _rn = 1),""",
+        """res AS (
+          SELECT a.vec_id, a.centroid_id,
+                 list_transform(range(1, len(e.v) + 1),
+                                i -> e.v[i] - cd.cd[i]) AS r
+          FROM assign a JOIN ev e USING (vec_id)
+          JOIN centd cd USING (centroid_id)),""",
+        f"sr AS (SELECT vec_id, j AS subspace,"
+        f" list_slice(r, j*{sub} + 1, (j+1)*{sub}) AS sv"
+        f" FROM res, unnest(range(0, {m})) AS t(j)),",
+        f"c0 AS (SELECT subspace, vec_id AS cid, sv AS cent FROM sr"
+        f" WHERE vec_id IN (SELECT vec_id FROM embeddings"
+        f" ORDER BY vec_id LIMIT {k_codes}))",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        a{i} AS (
+          SELECT vec_id, subspace, cid, sv FROM (
+            SELECT s.vec_id, s.subspace, c.cid, s.sv,
+                   row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                     ORDER BY list_distance(s.sv, c.cent) ASC,
+                              c.cid ASC) AS _rn
+            FROM sr s JOIN c{i - 1} c USING (subspace)) WHERE _rn = 1),
+        m{i} AS (
+          SELECT subspace, cid, pos, avg(val) AS mean FROM (
+            SELECT subspace, cid, unnest(sv) AS val,
+                   unnest(range(1, len(sv) + 1)) AS pos
+            FROM a{i})
+          GROUP BY subspace, cid, pos),
+        c{i} AS (
+          SELECT c.subspace, c.cid, COALESCE(nc.cent, c.cent) AS cent
+          FROM c{i - 1} c
+          LEFT JOIN (SELECT subspace, cid, list(mean ORDER BY pos) AS cent
+                     FROM m{i} GROUP BY subspace, cid) nc
+            USING (subspace, cid))""")
+    parts.append(f""",
+        enc AS (
+          SELECT vec_id, subspace, cid FROM (
+            SELECT s.vec_id, s.subspace, c.cid,
+                   row_number() OVER (PARTITION BY s.vec_id, s.subspace
+                     ORDER BY list_distance(s.sv, c.cent) ASC,
+                              c.cid ASC) AS _rn
+            FROM sr s JOIN c{n_iter} c USING (subspace)) WHERE _rn = 1),
+        probe AS (
+          SELECT query_id, centroid_id FROM (
+            SELECT q.vec_id AS query_id, c.centroid_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding, c.cent) DESC,
+                              c.centroid_id ASC) AS _rn
+            FROM embeddings q, cents c WHERE q.vec_id < {n_q})
+          WHERE _rn <= {n_probe}),
+        qres AS (
+          SELECT p.query_id, p.centroid_id,
+                 list_transform(range(1, len(e.v) + 1),
+                                i -> e.v[i] - cd.cd[i]) AS qr,
+                 list_inner_product(e.v, cd.cd) AS qc_dot
+          FROM probe p JOIN ev e ON e.vec_id = p.query_id
+          JOIN centd cd USING (centroid_id)),
+        qsub AS (
+          SELECT query_id, centroid_id, j AS subspace,
+                 list_slice(qr, j*{sub} + 1, (j+1)*{sub}) AS sv
+          FROM qres, unnest(range(0, {m})) AS t(j)),
+        tab AS (
+          SELECT q.query_id, q.centroid_id, q.subspace, c.cid,
+                 list_inner_product(q.sv, c.cent) AS part
+          FROM qsub q JOIN c{n_iter} c USING (subspace)),
+        nrm AS (
+          SELECT vec_id,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM ev),
+        adc AS (
+          SELECT t.query_id, e.vec_id AS neighbor_id,
+                 (max(q.qc_dot) + list_sum(list(t.part ORDER BY t.subspace)))
+                   / max(n.nrm) AS approx
+          FROM enc e
+          JOIN assign a ON a.vec_id = e.vec_id
+          JOIN tab t ON t.centroid_id = a.centroid_id
+                    AND t.subspace = e.subspace AND t.cid = e.cid
+          JOIN qres q ON q.query_id = t.query_id
+                     AND q.centroid_id = a.centroid_id
+          JOIN nrm n ON n.vec_id = e.vec_id
+          WHERE t.query_id <> e.vec_id
+          GROUP BY t.query_id, e.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY approx DESC, neighbor_id ASC) AS _arn
+            FROM adc) WHERE _arn <= {k * overfetch})
+        SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+          SELECT c.query_id, c.neighbor_id,
+                 row_number() OVER (PARTITION BY c.query_id
+                   ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                            c.neighbor_id ASC) AS rank
+          FROM cand c
+          JOIN embeddings q ON q.vec_id = c.query_id
+          JOIN embeddings n ON n.vec_id = c.neighbor_id)
+        WHERE rank <= {k}""")
     return "\n".join(parts)
 
 
@@ -1776,6 +1927,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivf_kmeans": _kmeans_assign_sql(n_iter=3, k=8),
         "sim_pq_topk": _pq_topk_sql(m=4, k_codes=4, n_iter=2, sub=16,
                                     n_q=8, k=5),
+        "sim_ivfpq_topk": _ivfpq_sql(k_coarse=8, m=4, k_codes=4, n_iter=2,
+                                     sub=16, n_q=8, k=5, n_probe=2,
+                                     overfetch=8),
         "media_decode_stats": """
           SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
                  CAST(list_sum(list_transform(range(0, 16),

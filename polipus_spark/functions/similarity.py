@@ -928,3 +928,202 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --- IVF-PQ: the composed 100 TB ANN layout (r4) ---------------------------
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_centroids: int = 8,
+    m: int = 4,
+    n_codes: int = 4,
+    n_iter: int = 2,
+    refine_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize a FAISS-style IVF-PQ index: coarse centroids + per-list
+    PQ codes over RESIDUALS.
+
+    Layout on disk:
+
+      * ``centroids/`` — the K coarse centroids (the probe set);
+      * ``codebooks/`` — m·n_codes PQ centroids trained on the residuals
+        ``x − c_coarse(x)`` (:func:`pq_train` over the residual column —
+        residual quantization is what makes PQ sharp inside a list, since
+        residuals are centered near zero);
+      * ``vectors/`` — ``partitionBy(centroid_id)``: per vector the m PQ
+        codes, the precomputed double-precision norm (ADC scores dot
+        products; cosine needs ‖x‖ and the codes can't recover it), AND
+        the float embedding — parquet is columnar, so the ADC pass reads
+        only (vec_id, codes, nrm) ≈ m+9 bytes/vector while the float
+        column is touched only by the exact re-rank fetch.
+
+    Query cost at 100 TB: DPP prunes to n_probe/K of the lists, the ADC
+    scan reads ~2 % of the pruned bytes (codes+norm vs float), and the
+    float read is k·overfetch rows per query."""
+    if refine_iters > 0:
+        cents = kmeans_centroids(corpus, n_centroids, refine_iters, id_col, vec_col)
+    else:
+        cents = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    cents.select("centroid_id", F.col("_cent").alias("centroid")).write.mode(
+        "overwrite"
+    ).parquet(f"{index_dir}/centroids")
+    cents_d = cents.select(
+        "centroid_id",
+        F.transform("_cent", lambda x: x.cast("double")).alias("_cd"),
+    )
+    corpus_v = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    assign = _assign_to(corpus_v, cents)
+    res = (
+        corpus_v.join(assign, "vec_id")
+        .join(F.broadcast(cents_d), "centroid_id")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.transform("_v", lambda x: x.cast("double")),
+                F.col("_cd"),
+                lambda x, c: x - c,
+            ).alias("_res"),
+        )
+    )
+    books = pq_train(res, m=m, n_codes=n_codes, n_iter=n_iter,
+                     id_col="vec_id", vec_col="_res")
+    books.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
+    codes = pq_encode(res, books, m, id_col="vec_id", vec_col="_res")
+    (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            norm(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias("nrm"),
+        )
+        .join(codes, "vec_id")
+        .join(assign, "vec_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def ivfpq_topk(
+    spark,
+    queries: DataFrame,
+    index_dir: str,
+    m: int,
+    k: int = 5,
+    n_probe: int = 2,
+    overfetch: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a :func:`build_ivfpq_index` index → (query_id, neighbor_id,
+    rank).
+
+    Three stages, each reading the minimum bytes:
+
+      1. **probe** — cosine vs the K coarse centroids, keep n_probe lists
+         per query (broadcast; triggers DPP on the vectors scan);
+      2. **ADC** — per (query, probed list) the query residual's m
+         subvectors dot every codebook centroid → a Q·n_probe·m·K lookup
+         table (broadcast); each candidate's approximate cosine is
+         (dot(q, c_coarse) + Σⱼ table[j, code_j]) / ‖x‖ — computed from
+         the codes+norm columns ONLY, summed in subspace order so exact
+         ties (vectors sharing a list and all m codes — their stored
+         scores differ only by norm) resolve identically in any engine;
+         keep k·overfetch per query;
+      3. **re-rank** — exact float cosine over the surviving candidates
+         (a second DPP- and id-pruned read of the float column).
+    """
+    books = spark.read.parquet(f"{index_dir}/codebooks").select(
+        "subspace", "code_id", F.col("_cent").alias("_bc")
+    )
+    sub_len = books.select(F.size("_bc").alias("s")).first()["s"]
+    cents = spark.read.parquet(f"{index_dir}/centroids").select(
+        "centroid_id", F.col("centroid").alias("_cent")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim_c").desc(), F.col("centroid_id").asc()
+    )
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_sim_c", cosine(F.col("_qv"), F.col("_cent")))
+        .withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= n_probe)
+        .select(
+            "query_id", "centroid_id", "_qv",
+            F.zip_with(
+                F.transform("_qv", lambda x: x.cast("double")),
+                F.transform("_cent", lambda x: x.cast("double")),
+                lambda x, c: x - c,
+            ).alias("_qr"),
+            dot(
+                F.transform("_qv", lambda x: x.cast("double")),
+                F.transform("_cent", lambda x: x.cast("double")),
+            ).alias("_qc_dot"),
+        )
+    )
+    qsub = probe.select(
+        "query_id", "centroid_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("subspace"),
+                     F.slice(F.col("_qr"), j * sub_len + 1, sub_len).alias("_sv"))
+            for j in range(m)
+        ])).alias("_s"),
+    ).select("query_id", "centroid_id",
+             F.col("_s.subspace").alias("subspace"),
+             F.col("_s._sv").alias("_sv"))
+    table = qsub.join(F.broadcast(books), "subspace").select(
+        "query_id", "centroid_id", "subspace", "code_id",
+        dot(F.col("_sv"), F.col("_bc")).alias("_part"),
+    )
+    codes = spark.read.parquet(f"{index_dir}/vectors").select(
+        F.col("vec_id").alias("neighbor_id"), "codes", "nrm", "centroid_id"
+    )
+    adc = (
+        codes.join(F.broadcast(probe.select("query_id", "centroid_id", "_qc_dot")),
+                   "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "centroid_id", "neighbor_id", "nrm", "_qc_dot",
+                F.posexplode("codes").alias("subspace", "code_id"))
+        .join(F.broadcast(table),
+              ["query_id", "centroid_id", "subspace", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.first("centroid_id").alias("centroid_id"),
+            ((F.first("_qc_dot") + F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("subspace", "_part"))),
+                    lambda s: s["_part"],
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, v: acc + v,
+            )) / F.first("nrm")).alias("_approx"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("_approx").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("_arn", F.row_number().over(wa))
+        .where(F.col("_arn") <= k * overfetch)
+        .join(F.broadcast(probe.select("query_id", "_qv").dropDuplicates(["query_id"])),
+              "query_id")
+        .select("query_id", "centroid_id", "neighbor_id", "_qv")
+    )
+    floats = spark.read.parquet(f"{index_dir}/vectors").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        "centroid_id",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        floats.join(F.broadcast(cand), ["centroid_id", "neighbor_id"])
+        .withColumn("_sim", cosine(F.col("_qv"), F.col("_cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -471,6 +471,71 @@ def test_ivf_index_dpp_and_equality(spark, tmp_path):
     assert ix == bf
 
 
+def test_ivfpq_index_dpp_and_fullprobe_equality(spark, tmp_path):
+    """IVF-PQ composed index: residual-PQ codes live beside the float
+    column in centroid_id= list directories, the ADC scan carries a DPP
+    subquery, and with every list probed + overfetch covering the whole
+    corpus the exact float re-rank makes the result EQUAL brute force —
+    the approximation only ever narrows candidates, never reorders the
+    final k."""
+    import os
+
+    from polipus_spark.functions.similarity import (
+        brute_force_topk, build_ivfpq_index, ivfpq_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, d, n_centroids=4, m=4, n_codes=4, n_iter=2)
+    dirs = {e for e in os.listdir(d + "/vectors") if e.startswith("centroid_id=")}
+    assert len(dirs) == 4
+    cb = spark.read.parquet(d + "/codebooks")
+    assert cb.count() == 4 * 4  # m subspaces × n_codes
+    assert cb.select(F.size("_cent")).first()[0] == 16  # dim 64 / m 4
+
+    q = emb.where(F.col("vec_id") < 5)
+    out = ivfpq_topk(spark, q, d, m=4, k=5, n_probe=4, overfetch=200)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    bf = {(r["query_id"], r["neighbor_id"], r["rank"])
+          for r in brute_force_topk(q, emb, k=5).collect()}
+    ix = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in out.collect()}
+    assert ix == bf
+
+
+def test_ivfpq_narrow_probe_deterministic_and_ranked(spark, tmp_path):
+    """Narrow probe (the production path): deterministic across runs, 5
+    ranks per query, and the returned order agrees with TRUE cosine (the
+    re-rank is exact even when the ADC prefilter is approximate)."""
+    from polipus_spark.functions.similarity import build_ivfpq_index, ivfpq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = str(tmp_path / "ivfpq2")
+    build_ivfpq_index(emb, d, n_centroids=8, m=4, n_codes=4, n_iter=2)
+    q = emb.where(F.col("vec_id") < 8)
+    a = ivfpq_topk(spark, q, d, m=4, k=5, n_probe=2).collect()
+    b = ivfpq_topk(spark, q, d, m=4, k=5, n_probe=2).collect()
+    key = lambda rows: sorted((r["query_id"], r["neighbor_id"], r["rank"])
+                              for r in rows)
+    assert key(a) == key(b)
+    by_q = {}
+    for r in a:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def cos(u, v):
+        du = sum(x * y for x, y in zip(u, v))
+        nu = sum(x * x for x in u) ** 0.5
+        nv = sum(x * x for x in v) ** 0.5
+        return du / (nu * nv)
+
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+        sims = [cos(vecs[qid], vecs[r["neighbor_id"]]) for r in rows]
+        assert all(s1 >= s2 - 1e-9 for s1, s2 in zip(sims, sims[1:]))
+
+
 def test_lsh_embedding_buckets_deterministic(spark):
     from polipus_spark.functions.similarity import lsh_bucket_candidates
 
