@@ -111,6 +111,15 @@ def main() -> None:
         "subspace) rows and ONE (query, vec) partial-agg sum — the float "
         "embedding column is read only by training/encoding, never by the "
         "serving lookup.",
+        "sim_ivfpq_topk": "composed IVF-PQ (r4): both vectors scans keep "
+        "dynamicpruning PartitionFilters on centroid_id (the probe prunes "
+        "to n_probe/K lists); the ADC scan's ReadSchema is (vec_id, codes, "
+        "nrm) — the float embedding column is pruned out of the scoring "
+        "path entirely and read only by the exact re-rank BroadcastHashJoin "
+        "over the k·overfetch candidate set. Probe, ADC table, and "
+        "candidate frames are all broadcast — the only corpus-proportional "
+        "work is the pruned codes scan plus one (query, neighbor) "
+        "partial-agg sum.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
