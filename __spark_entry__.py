@@ -663,6 +663,33 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb.where(F.col("vec_id") < 8), codes, cb, m=4, k=5)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted MinHash signature store (r4):
+    the even-id half of documents plays the EXISTING corpus (signatures
+    persisted once, ~130 B/doc), the odd-id half plays the new ingest
+    batch. The batch's banded signatures broadcast against the store scan
+    (no store shuffle — the 100 TB posture); a ≥1-band collision plus
+    n_match agreeing positions out of 16 (unbiased Jaccard estimate × 16)
+    gates the pair. Oracle recomputes both halves' signatures from the
+    documents table and replays banding, collision, and the match count."""
+    import tempfile
+
+    from polipus_spark.functions.dedup import (
+        build_minhash_store, incremental_dedup_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    key = (sf_dir, "minhash_store")
+    if key not in _IVF_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="polipus_minhash_store_")
+        build_minhash_store(d.where(F.col("doc_id") % 2 == 0), idx)
+        _IVF_INDEX_CACHE[key] = idx
+    return incremental_dedup_pairs(
+        spark, d.where(F.col("doc_id") % 2 == 1), _IVF_INDEX_CACHE[key],
+        min_matches=4,
+    )
+
+
 def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed ANN (r4): the full FAISS-style 100 TB serving
     layout — coarse centroids partition the corpus on disk (DPP probe
@@ -1122,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "dedup_incremental": q_dedup_incremental,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -1585,6 +1613,51 @@ def _minhash_banded_sql(n_bands: int = 4, rows_per_band: int = 4,
     """
 
 
+def _incremental_dedup_sql(n_bands: int = 4, rows_per_band: int = 4,
+                           min_matches: int = 4) -> str:
+    """Oracle for dedup_incremental: recompute every document's minhash
+    signature (identical md5/affine constants via _minhash_sql_parts),
+    split by id parity into store (even) and batch (odd), replay banding
+    (same '_'-joined bucket strings as dedup.minhash_bands), the band
+    collision, and the agreeing-position count."""
+    n_perm = n_bands * rows_per_band
+    _, base, mins = _minhash_sql_parts(n_perm)
+    mcols = ", ".join(f"({mins[i]}) AS m{i}" for i in range(n_perm))
+
+    def band_union(idname: str, parity: int) -> str:
+        exprs = []
+        for bnd in range(n_bands):
+            joined = " || '_' || ".join(
+                f"CAST(m{i} AS VARCHAR)"
+                for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+            )
+            exprs.append(
+                f"SELECT id AS {idname}, {bnd} AS band, {joined} AS bucket"
+                f" FROM sigs WHERE id % 2 = {parity}"
+            )
+        return " UNION ALL ".join(exprs)
+
+    nmatch = " + ".join(
+        f"(CASE WHEN o.m{i} = n.m{i} THEN 1 ELSE 0 END)" for i in range(n_perm)
+    )
+    return f"""
+      WITH sigs0 AS (SELECT doc_id AS id, {base} AS __base FROM documents),
+      sigs AS (SELECT id, {mcols} FROM sigs0),
+      oldb AS ({band_union('old_id', 0)}),
+      newb AS ({band_union('new_id', 1)}),
+      cand AS (
+        SELECT DISTINCT n.new_id, o.old_id
+        FROM oldb o JOIN newb n
+          ON o.band = n.band AND o.bucket = n.bucket
+         AND o.old_id <> n.new_id)
+      SELECT c.new_id, c.old_id, CAST({nmatch} AS INT) AS n_match
+      FROM cand c
+      JOIN sigs o ON o.id = c.old_id
+      JOIN sigs n ON n.id = c.new_id
+      WHERE ({nmatch}) >= {min_matches}
+    """
+
+
 def _shingles_sql(source: str = "documents") -> str:
     """(id, g): 60-bit md5 hashes of distinct 3-word shingles — hashed
     BEFORE the intersection join, mirroring dedup.ngram_jaccard."""
@@ -1930,6 +2003,9 @@ def oracle_sql() -> dict[str, str]:
         "sim_ivfpq_topk": _ivfpq_sql(k_coarse=8, m=4, k_codes=4, n_iter=2,
                                      sub=16, n_q=8, k=5, n_probe=2,
                                      overfetch=8),
+        "dedup_incremental": _incremental_dedup_sql(n_bands=4,
+                                                    rows_per_band=4,
+                                                    min_matches=4),
         "media_decode_stats": """
           SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
                  CAST(list_sum(list_transform(range(0, 16),

@@ -202,6 +202,85 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def build_minhash_store(
+    docs: DataFrame,
+    store_dir: str,
+    n_perm: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the (id, m0..m{n_perm-1}) minhash signature table — durable
+    state for INCREMENTAL dedup (new batch vs existing corpus), the shape
+    production pipelines actually run: the corpus is deduped once, then
+    every ingest wave probes the store instead of re-deduping 100 TB.
+
+    The store is ~8·n_perm ≈ 130 B per document (<0.2 % of corpus bytes at
+    typical doc sizes) and scalar-columnar, so probes scan it map-side with
+    column pruning. ``mode="append"`` admits a batch's survivors after a
+    round of :func:`incremental_dedup_pairs`."""
+    minhash_signature_agg(docs, id_col, text_col, n_perm, shingle_k) \
+        .write.mode(mode).parquet(store_dir)
+
+
+def incremental_dedup_pairs(
+    spark,
+    new_docs: DataFrame,
+    store_dir: str,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    min_matches: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """New-batch-vs-store near-dup pairs → (new_id, old_id, n_match).
+
+    Both sides band their signatures (:func:`minhash_bands` layout); a
+    collision in ≥1 band yields a candidate, and ``n_match`` — the number
+    of agreeing minhash positions out of n_bands·rows_per_band, an unbiased
+    Jaccard estimate scaled by n_perm — gates the pair (``min_matches``).
+
+    Scale shape: the NEW side (one ingest wave) is broadcast; the persisted
+    store STREAMS map-side — a 10^9-document store is scanned (columns
+    pruned to id + the 16 signature ints) but NEVER shuffled. The only
+    exchanges in the plan are over the batch's signature agg and the
+    collision pairs' distinct — both ∝ batch size, not store size. For
+    batch-vs-batch dedup of comparable sides use
+    :func:`lsh_candidate_pairs` instead."""
+    n_perm = n_bands * rows_per_band
+
+    def _banded(sigs: DataFrame, id_out: str, m_out: str) -> DataFrame:
+        bands = []
+        for bnd in range(n_bands):
+            cols = [
+                F.col(f"m{i}").cast("string")
+                for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+            ]
+            bands.append(F.concat_ws("_", *cols))
+        return sigs.select(
+            F.col("id").alias(id_out),
+            *[F.col(f"m{i}").alias(f"{m_out}{i}") for i in range(n_perm)],
+            F.posexplode(F.array(*bands)).alias("band", "bucket"),
+        )
+
+    store = spark.read.parquet(store_dir)
+    new_sigs = minhash_signature_agg(new_docs, id_col, text_col, n_perm, shingle_k)
+    old_b = _banded(store, "old_id", "m")
+    new_b = _banded(new_sigs, "new_id", "nm")
+    n_match = F.lit(0)
+    for i in range(n_perm):
+        n_match = n_match + (F.col(f"m{i}") == F.col(f"nm{i}")).cast("int")
+    return (
+        old_b.join(F.broadcast(new_b), ["band", "bucket"])
+        .where(F.col("old_id") != F.col("new_id"))
+        .select("new_id", "old_id", n_match.cast("int").alias("n_match"))
+        .distinct()
+        .where(F.col("n_match") >= min_matches)
+    )
+
+
 def ngram_jaccard(
     docs: DataFrame,
     pairs: DataFrame,

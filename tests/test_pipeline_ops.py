@@ -471,6 +471,46 @@ def test_ivf_index_dpp_and_equality(spark, tmp_path):
     assert ix == bf
 
 
+def test_incremental_dedup_store(spark, tmp_path):
+    """Persisted-minhash incremental dedup: an exact copy of a stored doc
+    agrees on all 16 signature positions, an unrelated doc yields no pair,
+    a store-appended batch is visible to the next probe, and the plan joins
+    via broadcast (the store side streams — no SortMergeJoin)."""
+    from polipus_spark.functions.dedup import (
+        build_minhash_store, incremental_dedup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .where(F.col("doc_id") < 100)
+    store_dir = str(tmp_path / "sigstore")
+    build_minhash_store(docs, store_dir)
+
+    first = docs.select("doc_id", "text").orderBy("doc_id").first()
+    batch = spark.createDataFrame(
+        [(1000, first["text"]),
+         (1001, "zanzibar quokka perihelion mahogany typewriter eleven")],
+        "doc_id long, text string")
+    out = incremental_dedup_pairs(spark, batch, store_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    rows = out.collect()
+    exact = [r for r in rows
+             if r["new_id"] == 1000 and r["old_id"] == first["doc_id"]]
+    assert exact and exact[0]["n_match"] == 16
+    assert not [r for r in rows if r["new_id"] == 1001]
+
+    # append-mode: admit the unrelated doc, and the next probe sees it
+    build_minhash_store(
+        batch.where(F.col("doc_id") == 1001), store_dir, mode="append")
+    probe2 = spark.createDataFrame(
+        [(2000, "zanzibar quokka perihelion mahogany typewriter eleven")],
+        "doc_id long, text string")
+    rows2 = incremental_dedup_pairs(spark, probe2, store_dir).collect()
+    assert any(r["new_id"] == 2000 and r["old_id"] == 1001
+               and r["n_match"] == 16 for r in rows2)
+
+
 def test_ivfpq_index_dpp_and_fullprobe_equality(spark, tmp_path):
     """IVF-PQ composed index: residual-PQ codes live beside the float
     column in centroid_id= list directories, the ADC scan carries a DPP
