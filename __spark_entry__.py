@@ -713,6 +713,36 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                       _IVF_INDEX_CACHE[key], m=4, k=5, n_probe=2, overfetch=8)
 
 
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the composed IVF-PQ serving path vs exact brute force —
+    the quality metric an ANN deployment actually monitors, computed
+    in-engine: left-join the approximate top-5 against the exact top-5 and
+    floor-scale the hit fraction to an integer percent. The oracle embeds
+    both replays (_ivfpq_sql and the brute-force window) as derived tables
+    and computes the same join — so the driver hash-checks not just each
+    path but the MEASURED GAP between them. On the synthetic near-uniform
+    embeddings recall converges to ~n_probe/K (the no-cluster-structure
+    floor: a true neighbor's list is uniform over the K lists) — 20 % at
+    sf0.1 vs the 25 % floor — which is precisely what a recall monitor
+    must surface; real embedding corpora cluster, which is what lifts
+    IVF recall above the floor."""
+    from polipus_spark.functions.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    approx = q_sim_ivfpq_topk(spark, sf_dir)
+    exact = brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .agg(
+            F.floor(F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 100
+                    / F.count("*")).cast("int").alias("recall_pct"),
+            F.count("*").alias("n_results"),
+        )
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: pairwise cosine restricted to
     k-means clusters (3 Lloyd iterations) — pairwise work ~n²/K and each
@@ -1149,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "sim_ann_recall": q_sim_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
@@ -2006,6 +2037,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _incremental_dedup_sql(n_bands=4,
                                                     rows_per_band=4,
                                                     min_matches=4),
+        "sim_ann_recall": f"""
+          SELECT CAST(floor(
+                   sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                   * 100.0 / count(*)) AS INT) AS recall_pct,
+                 count(*) AS n_results
+          FROM ({_ivfpq_sql(k_coarse=8, m=4, k_codes=4, n_iter=2, sub=16,
+                            n_q=8, k=5, n_probe=2, overfetch=8)}) a
+          LEFT JOIN (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id ASC) AS rank
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+            WHERE rank <= 5) e
+            ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        """,
         "media_decode_stats": """
           SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
                  CAST(list_sum(list_transform(range(0, 16),
