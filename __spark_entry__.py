@@ -663,6 +663,19 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb.where(F.col("vec_id") < 8), codes, cb, m=4, k=5)
 
 
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (r4): 6 merges over the documents
+    vocab. One corpus-proportional word-count pass; every Lloyd-style
+    iteration after that runs on the ~vocab-sized frame (Heaps' law: vocab
+    stays ~10^5-10^6 rows at 100 TB) — two tiny aggs + a 1-row argmax
+    collect + a literal Column replace. The oracle unrolls the identical
+    6 iterations (_bpe_sql); pair counts, tiebreaks, and the greedy
+    non-overlapping merge scan agree bit-for-bit."""
+    from polipus_spark.functions.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), n_merges=6)
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a persisted MinHash signature store (r4):
     the even-id half of documents plays the EXISTING corpus (signatures
@@ -1181,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_ann_recall": q_sim_ann_recall,
         "dedup_incremental": q_dedup_incremental,
+        "text_bpe_merges": q_text_bpe_merges,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -1689,6 +1703,47 @@ def _incremental_dedup_sql(n_bands: int = 4, rows_per_band: int = 4,
     """
 
 
+def _bpe_sql(n_merges: int = 6, min_len: int = 2) -> str:
+    """Unrolled oracle for text_bpe_merges: replay bpe.bpe_train exactly —
+    word counts over [a-z0-9]-stripped lowercase tokens, paren-delimited
+    character symbols, then n_merges iterations of (adjacent-pair count,
+    argmax with (count DESC, l ASC, r ASC) tiebreak, literal
+    '(l)(r)'→'(lr)' replace — the same non-overlapping left-to-right scan
+    in both engines)."""
+    ws = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+    parts = [f"""
+      WITH v0 AS (
+        SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS s, cnt FROM (
+          SELECT w, count(*) AS cnt FROM (
+            SELECT regexp_replace(unnest({ws}), '[^a-z0-9]', '', 'g') AS w
+            FROM documents)
+          WHERE len(w) >= {min_len} GROUP BY w))"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+        w{i} AS (
+          SELECT cnt, regexp_extract_all(s, '\\(([^)]*)\\)', 1) AS syms
+          FROM v{i - 1}),
+        p{i} AS (
+          SELECT p.l AS l, p.r AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+            SELECT cnt, unnest(list_transform(range(1, len(syms)),
+                     j -> {{'l': syms[j], 'r': syms[j + 1]}})) AS p
+            FROM w{i} WHERE len(syms) >= 2)
+          GROUP BY 1, 2),
+        b{i} AS (SELECT l, r, pc FROM p{i}
+                 ORDER BY pc DESC, l ASC, r ASC LIMIT 1),
+        v{i} AS (
+          SELECT replace(v.s, '(' || b.l || ')(' || b.r || ')',
+                         '(' || b.l || b.r || ')') AS s, v.cnt
+          FROM v{i - 1} v, b{i} b)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_rank, l AS lhs, r AS rhs,"
+        f" pc AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"\n{finals}")
+    return "\n".join(parts)
+
+
 def _shingles_sql(source: str = "documents") -> str:
     """(id, g): 60-bit md5 hashes of distinct 3-word shingles — hashed
     BEFORE the intersection join, mirroring dedup.ngram_jaccard."""
@@ -2037,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _incremental_dedup_sql(n_bands=4,
                                                     rows_per_band=4,
                                                     min_matches=4),
+        "text_bpe_merges": _bpe_sql(n_merges=6, min_len=2),
         "sim_ann_recall": f"""
           SELECT CAST(floor(
                    sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -261,9 +261,9 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         # PNG / Y4M-video decoders
         "sim_pq_topk", "png_decode_stats", "video_frame_stats",
         # r4 third batch: the composed IVF-PQ serving layout (DPP probe +
-        # residual-PQ ADC + float re-rank) and the persisted-signature
-        # incremental dedup probe
-        "sim_ivfpq_topk", "dedup_incremental",
+        # residual-PQ ADC + float re-rank), the persisted-signature
+        # incremental dedup probe, and BPE merge training
+        "sim_ivfpq_topk", "dedup_incremental", "text_bpe_merges",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

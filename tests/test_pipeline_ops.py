@@ -471,6 +471,42 @@ def test_ivf_index_dpp_and_equality(spark, tmp_path):
     assert ix == bf
 
 
+def test_bpe_train_hand_checked(spark):
+    """BPE on 'aaab aaab ab' is fully hand-computable: merge 1 = (a,a) with
+    weighted count 4 (two (a,a) pairs per 'aaab' × 2 occurrences), merge 2
+    = (a,b) count 3, merge 3 = (aa,ab) count 2, then no pairs remain (the
+    loop stops early even though n_merges=6). Exercises the greedy
+    left-to-right scan ((a)(a)(a)(b) → (aa)(a)(b), NOT (a)(aa)(b)) and the
+    count-desc/lex tiebreak."""
+    from polipus_spark.functions.bpe import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab")], "doc_id long, text string")
+    got = [(r["merge_rank"], r["lhs"], r["rhs"], r["pair_count"])
+           for r in bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()]
+    assert got == [(1, "a", "a", 4), (2, "a", "b", 3), (3, "aa", "ab", 2)]
+
+    seg = {r["word"]: r["pieces"] for r in bpe_segment(
+        spark.createDataFrame([(1, "aaab ab aab")], "doc_id long, text string"),
+        [("a", "a"), ("a", "b"), ("aa", "ab")]).collect()}
+    assert seg == {"aaab": ["aaab"], "ab": ["ab"], "aab": ["aa", "b"]}
+
+
+def test_bpe_counts_non_increasing(spark):
+    """Merging only removes occurrences of existing pairs, and any pair
+    born from a merge is bounded by that merge's count — so the trained
+    pair_count sequence is non-increasing (a real invariant of BPE, and a
+    regression tripwire for the pair-count dataflow)."""
+    from polipus_spark.functions.bpe import bpe_train
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = bpe_train(docs, n_merges=6).orderBy("merge_rank").collect()
+    assert [r["merge_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["pair_count"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert len(rows) >= 3
+
+
 def test_incremental_dedup_store(spark, tmp_path):
     """Persisted-minhash incremental dedup: an exact copy of a stored doc
     agrees on all 16 signature positions, an unrelated doc yields no pair,
