@@ -663,6 +663,37 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb.where(F.col("vec_id") < 8), codes, cb, m=4, k=5)
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (r4): every click matched to the user's most
+    recent view at-or-before the click — union + ONE keyed window with a
+    running ignorenulls last(), never a range join or per-key loop
+    (operators/asof.py). Views are pre-deduped to one row per (user, ts)
+    (max event_id) because an ambiguous same-instant match is undefined in
+    any engine. The oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` — the
+    window formulation must reproduce the dedicated operator exactly,
+    including NULL matches and the <= tie convention."""
+    from polipus_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+        .select("user_id", "ts", "view_id", F.col("ts").alias("view_ts"))
+    )
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    out = asof_join(clicks, views, keys=["user_id"], ts_col="ts",
+                    payload_cols=["view_id", "view_ts"])
+    return out.select(
+        "event_id", "user_id", "view_id",
+        # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast is the
+        # identity wall-clock reading and matches DuckDB's epoch_us exactly
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("view_ts").cast("timestamp"))).alias("gap_us"),
+    )
+
+
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (r4): 6 merges over the documents
     vocab. One corpus-proportional word-count pass; every Lloyd-style
@@ -1195,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_recall": q_sim_ann_recall,
         "dedup_incremental": q_dedup_incremental,
         "text_bpe_merges": q_text_bpe_merges,
+        "events_asof_join": q_events_asof_join,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -2093,6 +2125,18 @@ def oracle_sql() -> dict[str, str]:
                                                     rows_per_band=4,
                                                     min_matches=4),
         "text_bpe_merges": _bpe_sql(n_merges=6, min_len=2),
+        "events_asof_join": """
+          WITH views AS (
+            SELECT user_id, ts, max(event_id) AS view_id
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+          clicks AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'click')
+          SELECT c.event_id, c.user_id, v.view_id,
+                 epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+          FROM clicks c ASOF LEFT JOIN views v
+            ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
         "sim_ann_recall": f"""
           SELECT CAST(floor(
                    sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

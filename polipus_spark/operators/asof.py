@@ -1,0 +1,71 @@
+"""Backward as-of join — the time-series operator Spark lacks natively.
+
+For every left row, find the LATEST right row with ``right.ts <= left.ts``
+within the same key group (market-data "last quote before trade",
+telemetry "config active at event time", attribution "most recent view
+before click").
+
+Scale shape — the union-window formulation, NOT a range join:
+
+  * tag both sides, union, ONE shuffle on the keys, ONE per-key sort on
+    (ts, side), then a running ``last(right_payload, ignorenulls=True)``
+    over an unbounded-preceding window;
+  * cost is a single exchange + sort of |L| + |R| rows — compare a range
+    self-join's candidate blowup (per-key |L|·|R| before the argmax) or a
+    per-key Python loop. Hot keys cost one task's sort, exactly like any
+    keyed window (salt upstream if one key dominates);
+  * equal timestamps: right rows sort BEFORE left rows (side 0 < 1), so a
+    same-instant right row IS visible to the left row — the ``<=``
+    convention, matching DuckDB's ASOF JOIN, which is the oracle.
+
+Right rows must be unique per (keys, ts) — pre-aggregate if not (the
+match would otherwise be ambiguous in ANY engine's as-of semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Left as-of join → all ``left`` columns plus ``payload_cols`` from
+    the latest right row with ``right.ts_col <= left.ts_col`` per keys
+    (NULL payload when no right row precedes)."""
+    left_cols = [c for c in left.columns]
+    rpay_t = right.select(F.struct(*payload_cols).alias("_r")).schema["_r"].dataType
+    lrow_t = left.select(F.struct(*left_cols).alias("_l")).schema["_l"].dataType
+    l2 = left.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*left_cols).alias("_l"),
+        F.lit(None).cast(rpay_t).alias("_r"),
+    )
+    r2 = right.select(
+        *keys,
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lrow_t).alias("_l"),
+        F.struct(*payload_cols).alias("_r"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        l2.unionByName(r2)
+        .withColumn("_asof", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in left_cols],
+        *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+    )

@@ -471,6 +471,27 @@ def test_ivf_index_dpp_and_equality(spark, tmp_path):
     assert ix == bf
 
 
+def test_asof_join_hand_cases(spark):
+    """Backward as-of semantics on crafted rows: same-instant right row IS
+    matched (<= convention), an earlier-than-everything left row gets NULL,
+    a key with no right rows gets NULL, and the latest preceding row wins
+    over older ones. Plan has exactly one exchange pair (union → window),
+    no join operator at all."""
+    from polipus_spark.operators.asof import asof_join
+
+    clicks = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, 5.0), (3, 1, 1.0), (4, 2, 7.0)],
+        "event_id long, user_id long, ts double")
+    views = spark.createDataFrame(
+        [(100, 1, 5.0), (101, 1, 9.0)],
+        "view_id long, user_id long, ts double")
+    out = asof_join(clicks, views, keys=["user_id"], ts_col="ts",
+                    payload_cols=["view_id"])
+    assert "Join" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {r["event_id"]: r["view_id"] for r in out.collect()}
+    assert got == {1: 101, 2: 100, 3: None, 4: None}
+
+
 def test_bpe_train_hand_checked(spark):
     """BPE on 'aaab aaab ab' is fully hand-computable: merge 1 = (a,a) with
     weighted count 4 (two (a,a) pairs per 'aaab' × 2 occurrences), merge 2
