@@ -694,6 +694,37 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (r4): every error event opens a global 30-min
+    incident window; count and value-sum all events inside each window.
+    No equi key exists (windows are global), so the naive plan is a
+    BroadcastNestedLoop theta join — operators/asof.range_join instead
+    bins time into 1-hour buckets, explodes each window to its ≤2 buckets,
+    and equi-joins on the point's bucket (a pair can only meet in the
+    point's one bucket — no dedup). The oracle is the plain BETWEEN theta
+    join, which DuckDB plans as its native IEJoin."""
+    from polipus_spark.operators.asof import range_join
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+        "event_type", "value",
+    )
+    wins = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("win_id"),
+        F.col("es").alias("ws"),
+        (F.col("es") + 1800).alias("we"),
+    )
+    joined = range_join(ev.select("event_id", "es", "value"), wins,
+                        ts_col="es", start_col="ws", end_col="we",
+                        bucket_width=3600)
+    return joined.groupBy("win_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+         .cast("bigint").alias("sum_value_cents"),
+    )
+
+
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (r4): 6 merges over the documents
     vocab. One corpus-proportional word-count pass; every Lloyd-style
@@ -1227,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "text_bpe_merges": q_text_bpe_merges,
         "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -2136,6 +2168,23 @@ def oracle_sql() -> dict[str, str]:
                  epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
           FROM clicks c ASOF LEFT JOIN views v
             ON c.user_id = v.user_id AND v.ts <= c.ts
+        """,
+        "events_range_join": """
+          WITH ev AS (
+            -- floor, not bare CAST: epoch() keeps the microsecond fraction
+            -- and DuckDB's double->BIGINT cast rounds, while Spark's
+            -- unix_timestamp truncates
+            SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                   event_type, value
+            FROM events),
+          wins AS (
+            SELECT event_id AS win_id, es AS ws, es + 1800 AS we
+            FROM ev WHERE event_type = 'error')
+          SELECT w.win_id, count(*) AS n_events,
+                 CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+          FROM wins w JOIN ev e ON e.es BETWEEN w.ws AND w.we
+          GROUP BY w.win_id
         """,
         "sim_ann_recall": f"""
           SELECT CAST(floor(

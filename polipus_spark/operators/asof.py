@@ -1,4 +1,4 @@
-"""Backward as-of join — the time-series operator Spark lacks natively.
+"""Time-series joins Spark lacks natively: backward as-of and range join.
 
 For every left row, find the LATEST right row with ``right.ts <= left.ts``
 within the same key group (market-data "last quote before trade",
@@ -68,4 +68,37 @@ def asof_join(
     return matched.select(
         *[F.col(f"_l.{c}").alias(c) for c in left_cols],
         *[F.col(f"_asof.{c}").alias(c) for c in payload_cols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Inner join of points to the intervals CONTAINING them (inclusive
+    both ends) → points.* + intervals.* rows, one per containing interval.
+
+    The both-sides-large, no-equi-key case that naively plans as a
+    BroadcastNestedLoop/cartesian with a theta predicate. Instead: bin
+    time into ``bucket_width``-wide buckets, explode each interval to
+    every bucket it overlaps, equi-join on the point's single bucket, and
+    post-filter exact containment. A (point, interval) pair can only meet
+    in the point's one bucket, so no dedup is needed. Shuffle traffic is
+    |P| + |I|·(interval_width/bucket_width + 1) rows — pick bucket_width
+    near the typical interval width; never |P|·|I|. Time columns must be
+    numeric (epoch seconds/micros); column names must be disjoint."""
+    pb = points.withColumn("_bkt", F.floor(F.col(ts_col) / bucket_width))
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(F.sequence(F.floor(F.col(start_col) / bucket_width),
+                             F.floor(F.col(end_col) / bucket_width))),
+    )
+    return (
+        pb.join(ib, "_bkt")
+        .where(F.col(ts_col).between(F.col(start_col), F.col(end_col)))
+        .drop("_bkt")
     )

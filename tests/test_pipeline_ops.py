@@ -492,6 +492,30 @@ def test_asof_join_hand_cases(spark):
     assert got == {1: 101, 2: 100, 3: None, 4: None}
 
 
+def test_range_join_hand_cases(spark):
+    """Bucketed range join: inclusive bounds at both ends, an interval
+    spanning a bucket boundary still matches points in both buckets, a
+    point in no interval drops out, overlapping intervals each match —
+    and the plan is an equi hash join, never a nested-loop theta join."""
+    from polipus_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 95), (2, 100), (3, 105), (4, 250)],
+        "pid long, es long")
+    ivs = spark.createDataFrame(
+        [(10, 90, 100), (11, 100, 140), (12, 900, 950)],
+        "iid long, ws long, we long")
+    out = range_join(pts, ivs, ts_col="es", start_col="ws", end_col="we",
+                     bucket_width=100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    # 95∈[90,100]; 100∈[90,100] AND [100,140] (inclusive ends, overlap);
+    # 105∈[100,140] (interval spans the 100-bucket boundary); 250 matches
+    # nothing; interval 12 is empty
+    assert got == [(1, 10), (2, 10), (2, 11), (3, 11)]
+
+
 def test_bpe_train_hand_checked(spark):
     """BPE on 'aaab aaab ab' is fully hand-computable: merge 1 = (a,a) with
     weighted count 4 (two (a,a) pairs per 'aaab' × 2 occurrences), merge 2
