@@ -725,6 +725,40 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROLLUP_T0 = 1704067200  # 2024-01-01 00:00:00 UTC — events epoch start
+_ROLLUP_FROM = _ROLLUP_T0 + 6 * 3600
+_ROLLUP_SPLIT = _ROLLUP_T0 + 18 * 3600
+_ROLLUP_TO = _ROLLUP_T0 + 24 * 3600
+
+
+def q_events_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (r4): events below an 18h
+    watermark are pre-aggregated once into hour-bucket partials written
+    partitionBy(bucket) (static partition pruning serves the range
+    predicate); the 18h-24h tail stays raw. The query aggregates hours
+    6-24 by merging pruned rollup buckets with the re-aggregated tail —
+    and must equal the oracle's DIRECT aggregation over the raw events,
+    which is the materialized-view correctness contract."""
+    import tempfile
+
+    from polipus_spark.operators.rollup import build_time_rollup, rollup_range_agg
+
+    ev = _events(spark, sf_dir).select(
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+        "event_type", "value",
+    )
+    key = (sf_dir, "rollup")
+    if key not in _IVF_INDEX_CACHE:
+        d = tempfile.mkdtemp(prefix="polipus_rollup_")
+        build_time_rollup(ev.where(F.col("es") < _ROLLUP_SPLIT), d)
+        _IVF_INDEX_CACHE[key] = d
+    return rollup_range_agg(
+        spark, _IVF_INDEX_CACHE[key],
+        raw_tail=ev.where(F.col("es") >= _ROLLUP_SPLIT),
+        split_es=_ROLLUP_SPLIT, from_es=_ROLLUP_FROM, to_es=_ROLLUP_TO,
+    )
+
+
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (r4): 6 merges over the documents
     vocab. One corpus-proportional word-count pass; every Lloyd-style
@@ -1259,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": q_text_bpe_merges,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "events_rollup_agg": q_events_rollup_agg,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -2185,6 +2220,16 @@ def oracle_sql() -> dict[str, str]:
                    AS sum_value_cents
           FROM wins w JOIN ev e ON e.es BETWEEN w.ws AND w.we
           GROUP BY w.win_id
+        """,
+        "events_rollup_agg": f"""
+          SELECT event_type,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+          FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                       event_type, value FROM events)
+          WHERE es >= {_ROLLUP_FROM} AND es < {_ROLLUP_TO}
+          GROUP BY event_type
         """,
         "sim_ann_recall": f"""
           SELECT CAST(floor(

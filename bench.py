@@ -264,7 +264,7 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         # residual-PQ ADC + float re-rank), the persisted-signature
         # incremental dedup probe, and BPE merge training
         "sim_ivfpq_topk", "dedup_incremental", "text_bpe_merges",
-        "events_asof_join", "events_range_join",
+        "events_asof_join", "events_range_join", "events_rollup_agg",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

@@ -1,0 +1,95 @@
+"""Hypertable-style continuous aggregate: a persisted time-bucketed rollup
+plus a raw tail, merged at query time.
+
+The TimescaleDB continuous-aggregate / materialized-view pattern on plain
+parquet: historical events are aggregated ONCE into per-(bucket, key)
+partial aggregates written ``partitionBy(bucket)`` — the time-partitioned
+layout IS the hypertable index, so a range query's bucket predicate becomes
+static partition pruning and the scan reads only the queried buckets'
+directories. Fresh events past the rollup watermark stay raw; a range
+query aggregates the (small) raw tail and MERGES it with the pre-aggregated
+buckets by re-aggregating the partials (counts and sums compose; this is
+why the rollup stores sum/count, not avg).
+
+At 100 TB: the rollup is ~|buckets|·|keys| rows (thousands), the tail is
+one watermark-interval of raw data, and the historical raw events are
+never re-scanned by queries — the rollup replaces an O(corpus) aggregation
+with an O(buckets-in-range) read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _cents(value_col: str):
+    return F.round(F.col(value_col) * 100).cast("bigint")
+
+
+def build_time_rollup(
+    events: DataFrame,
+    rollup_dir: str,
+    ts_col: str = "es",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+) -> None:
+    """Aggregate events into per-(bucket, key) partials, partitioned by
+    bucket (bucket = epoch-second floor — the hypertable chunk key)."""
+    (
+        events
+        .withColumn("bucket",
+                    (F.floor(F.col(ts_col) / bucket_s) * bucket_s).cast("bigint"))
+        .groupBy("bucket", key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(value_col)).cast("bigint").alias("sum_value_cents"),
+        )
+        .write.mode("overwrite").partitionBy("bucket").parquet(rollup_dir)
+    )
+
+
+def rollup_range_agg(
+    spark,
+    rollup_dir: str,
+    raw_tail: DataFrame,
+    split_es: int,
+    from_es: int,
+    to_es: int,
+    ts_col: str = "es",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Aggregate [from_es, to_es) per key: pre-aggregated buckets below the
+    ``split_es`` watermark ∪ raw tail above it, re-aggregated. All three
+    boundaries must be bucket-aligned (asserted) so a bucket is never half
+    rolled-up. Result equals the direct aggregation over raw events —
+    which is exactly what the DuckDB oracle checks."""
+    for b in (split_es, from_es, to_es):
+        if b % bucket_s:
+            raise ValueError(f"boundary {b} not aligned to bucket_s={bucket_s}")
+    rolled = (
+        spark.read.parquet(rollup_dir)
+        .where((F.col("bucket") >= from_es)
+               & (F.col("bucket") < min(to_es, split_es)))
+        .select(key_col, "n_events", "sum_value_cents")
+    )
+    tail = (
+        raw_tail
+        .where((F.col(ts_col) >= max(from_es, split_es))
+               & (F.col(ts_col) < to_es))
+        .groupBy(key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(value_col)).cast("bigint").alias("sum_value_cents"),
+        )
+    )
+    return (
+        rolled.unionByName(tail)
+        .groupBy(key_col)
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_cents").cast("bigint").alias("sum_value_cents"),
+        )
+    )

@@ -492,6 +492,46 @@ def test_asof_join_hand_cases(spark):
     assert got == {1: 101, 2: 100, 3: None, 4: None}
 
 
+def test_time_rollup_matches_direct(spark, tmp_path):
+    """Continuous-aggregate contract: pruned rollup buckets + re-aggregated
+    raw tail == direct aggregation over raw events, for a range spanning
+    both sides of the watermark; the rollup scan carries a bucket
+    PartitionFilter (static pruning); unaligned boundaries raise."""
+    import pytest
+
+    from polipus_spark.operators.rollup import build_time_rollup, rollup_range_agg
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(F.unix_timestamp("ts").cast("bigint").alias("es"),
+                "event_type", "value")
+    )
+    t0 = 1704067200
+    split, lo, hi = t0 + 12 * 3600, t0 + 3600, t0 + 20 * 3600
+    d = str(tmp_path / "rollup")
+    build_time_rollup(ev.where(F.col("es") < split), d)
+
+    out = rollup_range_agg(spark, d, ev.where(F.col("es") >= split),
+                           split_es=split, from_es=lo, to_es=hi)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    direct = {
+        (r["event_type"], r["n_events"], r["sum_value_cents"])
+        for r in ev.where((F.col("es") >= lo) & (F.col("es") < hi))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(F.round(F.col("value") * 100).cast("bigint"))
+              .cast("bigint").alias("sum_value_cents")).collect()
+    }
+    got = {(r["event_type"], r["n_events"], r["sum_value_cents"])
+           for r in out.collect()}
+    assert got == direct and len(got) > 0
+
+    with pytest.raises(ValueError, match="not aligned"):
+        rollup_range_agg(spark, d, ev, split_es=split, from_es=lo + 7,
+                         to_es=hi)
+
+
 def test_range_join_hand_cases(spark):
     """Bucketed range join: inclusive bounds at both ends, an interval
     spanning a bucket boundary still matches points in both buckets, a
