@@ -120,6 +120,25 @@ def main() -> None:
         "candidate frames are all broadcast — the only corpus-proportional "
         "work is the pruned codes scan plus one (query, neighbor) "
         "partial-agg sum.",
+        "dedup_incremental": "incremental dedup vs persisted store (r4): "
+        "the signature store scan is column-pruned to (id, m0..m15) and "
+        "feeds a BroadcastHashJoin STREAMED side — the 10^9-row store is "
+        "never shuffled; the only exchanges are the (small) ingest batch's "
+        "signature agg and the collision pairs' distinct.",
+        "events_asof_join": "backward as-of join (r4): NO join operator in "
+        "the plan at all — union of both sides, one exchange on user_id, "
+        "one sort on (ts, side), a running ignorenulls last() window. "
+        "Compare a range join's candidate blowup; this is |L|+|R| rows "
+        "through one shuffle.",
+        "events_range_join": "bucketed range join (r4): the no-equi-key "
+        "interval containment that naively plans BroadcastNestedLoop — "
+        "here the exploded bucket key turns it into a hash equi-join plus "
+        "an exact containment Filter; shuffle ∝ |points|+|intervals|.",
+        "events_rollup_agg": "hypertable continuous aggregate (r4): the "
+        "rollup scan carries a static bucket PartitionFilter (only the "
+        "queried hours' directories are read); the raw side is only the "
+        "post-watermark tail; both re-aggregate through one small "
+        "exchange on event_type.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
