@@ -725,6 +725,69 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PageRank (r4), 3 rounds over a deterministic event graph
+    (user_id → event_id mod 97, self-loops dropped). Join+agg per round,
+    dangling mass redistributed, SCALED-INTEGER arithmetic throughout
+    (explicit floors; divisor gaps ≥ 1/deg dwarf double rounding), so the
+    unrolled DuckDB oracle hash-matches an iterative fixpoint exactly —
+    the same graduation CC and k-means made, now with weighted
+    propagation."""
+    from polipus_spark.operators.graph import pagerank
+
+    ev = _events(spark, sf_dir)
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 97).cast("bigint").alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    return pagerank(edges, n_iter=3)
+
+
+def _pagerank_sql(n_iter: int = 3, scale: int = 10**12,
+                  dnum: int = 85, dden: int = 100) -> str:
+    """Unrolled oracle for graph_pagerank: replay operators/graph.pagerank
+    — distinct edges, node set, out-degrees, then n_iter rounds of
+    floor(rank/deg) contributions, dangling-mass scalar, and the
+    teleport+damped update, all in the same scaled-integer space."""
+    pre = (scale * (dden - dnum)) // dden
+    parts = [f"""
+      WITH edges AS (
+        SELECT DISTINCT user_id AS src, CAST(event_id % 97 AS BIGINT) AS dst
+        FROM events WHERE user_id <> event_id % 97),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT node, CAST(floor({scale} / nn.n) AS BIGINT) AS r
+             FROM nodes CROSS JOIN nn)"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+        c{i} AS (
+          SELECT e.dst AS node,
+                 CAST(sum(CAST(floor(CAST(r.r AS DOUBLE) / d.deg) AS BIGINT))
+                      AS BIGINT) AS cs
+          FROM edges e
+          JOIN r{i - 1} r ON r.node = e.src
+          JOIN deg d ON d.src = e.src
+          GROUP BY e.dst),
+        d{i} AS (
+          SELECT CAST(COALESCE(sum(r.r), 0) AS BIGINT) AS dm
+          FROM r{i - 1} r LEFT JOIN deg d ON d.src = r.node
+          WHERE d.src IS NULL),
+        r{i} AS (
+          SELECT n2.node,
+                 CAST(CAST(floor({pre} / nn.n) AS BIGINT)
+                      + CAST(floor({dnum} * (COALESCE(c.cs, 0)
+                          + CAST(floor(CAST(dd.dm AS DOUBLE) / nn.n)
+                                 AS BIGINT)) / {dden}.0) AS BIGINT)
+                      AS BIGINT) AS r
+          FROM nodes n2
+          LEFT JOIN c{i} c ON c.node = n2.node
+          CROSS JOIN d{i} dd CROSS JOIN nn)""")
+    parts.append(f"""
+      SELECT node, r AS rank_scaled FROM r{n_iter}""")
+    return "\n".join(parts)
+
+
 _ROLLUP_T0 = 1704067200  # 2024-01-01 00:00:00 UTC — events epoch start
 _ROLLUP_FROM = _ROLLUP_T0 + 6 * 3600
 _ROLLUP_SPLIT = _ROLLUP_T0 + 18 * 3600
@@ -1294,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_rollup_agg": q_events_rollup_agg,
+        "graph_pagerank": q_graph_pagerank,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -2231,6 +2295,7 @@ def oracle_sql() -> dict[str, str]:
           WHERE es >= {_ROLLUP_FROM} AND es < {_ROLLUP_TO}
           GROUP BY event_type
         """,
+        "graph_pagerank": _pagerank_sql(n_iter=3),
         "sim_ann_recall": f"""
           SELECT CAST(floor(
                    sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -1,0 +1,82 @@
+"""Iterative graph dataflow: PageRank as join+agg rounds, integer-exact.
+
+The relational PageRank (no GraphX, no RDDs): each iteration joins the
+rank frame to the edge list on src, floor-divides rank by out-degree,
+sums contributions per dst, and recombines with the teleport term and the
+dangling-node mass. At scale this is one equi-join + one aggregation per
+iteration — both partial-aggregated map-side — over frames partitioned by
+node id; ``localCheckpoint`` per round keeps lineage flat exactly like
+kmeans_centroids / bpe_train.
+
+All arithmetic is SCALED-INTEGER: ranks live as ``rank_scaled = r·SCALE``
+BIGINTs, every division is an explicit floor, and the damping factor is
+the rational ``damp_num/damp_den``. Within the 2^53 double-exactness
+bound every engine computes bit-identical values (IEEE division is
+correctly rounded, floor of it is deterministic), so the DuckDB oracle
+hash-matches exactly — no float-tolerance hand-waving in an iterative
+fixpoint. The two driver-side scalars (node count, per-round dangling
+mass) are 1-row aggregates — bounded, like topk.py's threshold sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+) -> DataFrame:
+    """(node, rank_scaled) after ``n_iter`` rounds over distinct (src, dst)
+    edges. Dangling mass is redistributed uniformly; teleport term is
+    ``(1-d)/N``. ``sum(rank_scaled) ≈ scale`` (up to floor losses)."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n = nodes.count()
+    base = ((scale * (damp_den - damp_num)) // damp_den) // n
+    r = nodes.select("node", F.lit(scale // n).cast("bigint").alias("rank_scaled"))
+    for _ in range(max(n_iter, 0)):
+        contribs = (
+            e.join(r.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(F.col("rank_scaled") / F.col("deg"))
+                 .cast("bigint").alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_cs"))
+        )
+        dang = (
+            r.join(F.broadcast(deg.select(F.col("src").alias("node"))),
+                   "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0))
+                 .cast("bigint").alias("_dm"))
+        )
+        r = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.floor(
+                        F.lit(damp_num)
+                        * (F.coalesce(F.col("_cs"), F.lit(0))
+                           + F.floor(F.col("_dm") / F.lit(n)).cast("bigint"))
+                        / F.lit(damp_den)
+                    ).cast("bigint")
+                ).alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r

@@ -492,6 +492,33 @@ def test_asof_join_hand_cases(spark):
     assert got == {1: 101, 2: 100, 3: None, 4: None}
 
 
+def test_pagerank_hand_cases(spark):
+    """Integer-exact PageRank: a 2-cycle is stationary at scale/2 per node;
+    a single edge 1→2 leaves node 2 dangling, whose mass redistributes
+    (hand-derived values); total mass stays ~scale (floor losses only)."""
+    from polipus_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank(cyc, n_iter=2).collect()}
+    assert got == {1: 500_000_000_000, 2: 500_000_000_000}
+
+    one = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["rank_scaled"]
+           for r in pagerank(one, n_iter=1).collect()}
+    # base 75e9; node1 gets only floor(dm/n)=250e9 damped; node2 gets
+    # the full contribution 500e9 plus the dangling share
+    assert got == {1: 287_500_000_000, 2: 712_500_000_000}
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    edges = ev.select(F.col("user_id").alias("src"),
+                      (F.col("event_id") % 97).cast("bigint").alias("dst")) \
+        .where(F.col("src") != F.col("dst"))
+    rows = pagerank(edges, n_iter=3).collect()
+    total = sum(r["rank_scaled"] for r in rows)
+    assert 0.999 * 10**12 <= total <= 10**12
+
+
 def test_time_rollup_matches_direct(spark, tmp_path):
     """Continuous-aggregate contract: pruned rollup buckets + re-aggregated
     raw tail == direct aggregation over raw events, for a range spanning
