@@ -211,3 +211,70 @@ def streaming_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_neardedup_ingest(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_dir: str,
+    min_matches: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    available_now: bool = True,
+):
+    """Cross-batch NEAR-dup dedup on ingest — the streaming twin of
+    ``dedup.incremental_dedup_pairs``.
+
+    Each micro-batch (``foreachBatch``):
+
+      1. probes the persisted minhash signature store — docs whose banded
+         signature collides with ANY stored doc and agrees on
+         ``min_matches`` of 16 positions are dropped (near-dups of
+         anything ingested in ANY earlier batch, not just exact copies);
+      2. drops within-batch band-collision losers (min-id survivor, the
+         same policy as ``dedup.fuzzy_dedup``);
+      3. appends the survivors to the parquet sink and their signatures
+         to the store, so the NEXT batch probes against them.
+
+    Consistency: the sink is exactly-once (sink checkpoint); the store
+    append is at-least-once on retry — a duplicated signature is harmless
+    (it can only re-flag true near-dups, never drop a novel doc). The
+    store stays ~130 B/doc, probed by broadcast — the 100 TB posture of
+    the batch operator, per micro-batch."""
+    import os
+
+    from polipus_spark.functions.dedup import (
+        build_minhash_store, incremental_dedup_pairs, lsh_candidate_pairs,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        b = batch_df.persist()
+        try:
+            if os.path.exists(os.path.join(store_dir, "_SUCCESS")):
+                hits = incremental_dedup_pairs(
+                    spark, b, store_dir, min_matches=min_matches,
+                    id_col=id_col, text_col=text_col,
+                ).select(F.col("new_id").alias(id_col)).distinct()
+                b2 = b.join(hits, id_col, "left_anti")
+            else:
+                b2 = b
+            losers = lsh_candidate_pairs(b2, id_col=id_col, text_col=text_col) \
+                .select(F.col("id_b").alias(id_col)).distinct()
+            survivors = b2.join(losers, id_col, "left_anti").persist()
+            survivors.write.mode("append").parquet(out_dir)
+            build_minhash_store(survivors, store_dir, id_col=id_col,
+                                text_col=text_col, mode="append")
+            survivors.unpersist()
+        finally:
+            b.unpersist()
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -90,6 +90,55 @@ def test_streaming_dedup_ingest(spark):
     assert spark.read.parquet(out).count() == 3
 
 
+def test_streaming_neardedup_ingest(spark):
+    """Cross-batch NEAR-dup streaming ingest: a later batch's paraphrase of
+    an earlier batch's doc (one word changed — minhash agrees on ≥12/16
+    positions, no exact-hash match) is dropped by the persisted signature
+    store; novel docs survive; within-batch band-collision losers drop
+    too; the store grows by exactly the survivors."""
+    import os
+
+    from polipus_spark.streaming.waves import (
+        ingest_documents_stream, streaming_neardedup_ingest,
+    )
+
+    base = tempfile.mkdtemp()
+    src, out, ckpt, store = (
+        os.path.join(base, d) for d in ("src", "out", "ckpt", "store"))
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    long_a = ("the quick brown fox jumps over the lazy dog near the quiet "
+              "river bank every single morning before sunrise arrives while "
+              "fishermen prepare their small wooden boats and seagulls circle "
+              "slowly above the misty harbor waiting for the first catch of "
+              "the day to surface from the cold green water below the pier")
+    long_b = ("completely different content about distributed systems and "
+              "columnar storage engines processing petabytes of data daily")
+    spark.createDataFrame(
+        [(1, long_a), (2, long_b)], schema).write.mode("append").parquet(src)
+    q = streaming_neardedup_ingest(
+        ingest_documents_stream(spark, src, schema), out, ckpt, store)
+    q.awaitTermination(180)
+    assert spark.read.parquet(out).count() == 2
+
+    # one word changed: measured signature agreement 15/16 ≥ the 12 gate,
+    # with a band collision — a true near-dup, not an exact copy
+    near_a = long_a.replace("misty", "xyzzy")
+    novel = ("entirely new prose describing alpine meadows and the slow "
+             "migration of glaciers across ancient valleys over millennia")
+    spark.createDataFrame(
+        [(3, near_a), (4, novel)], schema).write.mode("append").parquet(src)
+    q2 = streaming_neardedup_ingest(
+        ingest_documents_stream(spark, src, schema), out, ckpt, store)
+    q2.awaitTermination(180)
+
+    ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert ids == {1, 2, 4}  # 3 caught by the store as a near-dup of 1
+    assert spark.read.parquet(store).count() == 3  # one signature/survivor
+
+
 def test_streaming_sessionize_stateful(spark):
     """applyInPandasWithState sessionization: per-user state (last_ts,
     session counter) carries ACROSS micro-batches — the streaming twin of
