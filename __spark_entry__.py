@@ -725,6 +725,70 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    (0, "hash join merge sort"),
+    (1, "stream window batch"),
+    (2, "customer filter query"),
+]
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (r4): top-5 docs for three fixed queries —
+    the sparse twin of the dense ANN entries. Postings built in one corpus
+    pass; query terms + query-restricted idf broadcast, so scoring prunes
+    the postings semi-join-style. Score parts fold in term order, so the
+    oracle (identical expression tree, ln/idf/avgdl derived the same way)
+    hash-matches the integer ranks."""
+    from polipus_spark.functions.retrieval import bm25_topk
+
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id int, text string")
+    return bm25_topk(_docs(spark, sf_dir), q, k=5)
+
+
+def _bm25_sql(k: int = 5) -> str:
+    """Oracle for text_bm25_topk: replay retrieval.bm25_topk with the
+    structurally identical arithmetic (same association order, ln not
+    log10, avgdl = exact-int sum/count) so doubles agree to the bit on
+    exact ties and ranking margins absorb any residual ULP."""
+    ws = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+    vals = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+    return f"""
+      WITH q(query_id, qtext) AS (VALUES {vals}),
+      toks AS (
+        SELECT doc_id AS id, w AS term, count(*) AS tf FROM (
+          SELECT doc_id, unnest({ws}) AS w FROM documents)
+        GROUP BY 1, 2),
+      dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM toks GROUP BY id),
+      st AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                    count(*) AS n FROM dl),
+      qt AS (SELECT query_id,
+                    unnest(list_distinct(list_filter(
+                      regexp_split_to_array(lower(qtext), '\\s+'),
+                      w -> w <> ''))) AS term
+             FROM q),
+      dfq AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+      parts AS (
+        SELECT qt.query_id, t.id, t.term,
+               ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)))
+                 AS part
+        FROM toks t
+        JOIN qt ON qt.term = t.term
+        JOIN dl ON dl.id = t.id
+        JOIN dfq ON dfq.term = t.term
+        CROSS JOIN st),
+      s AS (SELECT query_id, id, list_sum(list(part ORDER BY term)) AS score
+            FROM parts GROUP BY 1, 2)
+      SELECT query_id, id AS doc_id, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY score DESC, id ASC) AS rank
+        FROM s)
+      WHERE rank <= {k}
+    """
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational PageRank (r4), 3 rounds over a deterministic event graph
     (user_id → event_id mod 97, self-loops dropped). Join+agg per round,
@@ -1358,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_rollup_agg": q_events_rollup_agg,
         "graph_pagerank": q_graph_pagerank,
+        "text_bm25_topk": q_text_bm25_topk,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
         "o3_hot_window": q_o3_hot_window,
@@ -2296,6 +2361,7 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY event_type
         """,
         "graph_pagerank": _pagerank_sql(n_iter=3),
+        "text_bm25_topk": _bm25_sql(k=5),
         "sim_ann_recall": f"""
           SELECT CAST(floor(
                    sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)

@@ -265,7 +265,7 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         # incremental dedup probe, and BPE merge training
         "sim_ivfpq_topk", "dedup_incremental", "text_bpe_merges",
         "events_asof_join", "events_range_join", "events_rollup_agg",
-        "graph_pagerank",
+        "graph_pagerank", "text_bm25_topk",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

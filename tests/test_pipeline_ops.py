@@ -492,6 +492,28 @@ def test_asof_join_hand_cases(spark):
     assert got == {1: 101, 2: 100, 3: None, 4: None}
 
 
+def test_bm25_hand_ranking(spark):
+    """BM25 on a 3-doc corpus: higher tf in a shorter doc outranks lower
+    tf in a longer one; a term's specialist doc tops its query; docs
+    without any query term never appear."""
+    from polipus_spark.functions.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"),
+         (2, "apple banana banana cherry"),
+         (3, "cherry cherry")],
+        "doc_id long, text string")
+    qs = spark.createDataFrame(
+        [(0, "apple"), (1, "cherry")], "query_id int, text string")
+    rows = bm25_topk(docs, qs, k=3).collect()
+    by_q = {}
+    for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert by_q[0] == [1, 2]       # apple: d1 (tf 2, dl 3) over d2 (tf 1)
+    assert by_q[1] == [3, 2]       # cherry: d3 specialist first
+    assert 3 not in by_q[0]        # no 'apple' in d3
+
+
 def test_pagerank_hand_cases(spark):
     """Integer-exact PageRank: a 2-cycle is stationary at scale/2 per node;
     a single edge 1→2 leaves node 2 dangling, whose mass redistributes
