@@ -852,6 +852,99 @@ def _pagerank_sql(n_iter: int = 3, scale: int = 10**12,
     return "\n".join(parts)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (r4) over the same deterministic event
+    graph as graph_pagerank (user_id → event_id mod 97, undirected).
+    operators/graph.triangle_counts orients every unique undirected edge
+    low-degree→high-degree before the wedge self-join, so the fan-out is
+    bounded m^1.5 even under power-law hubs — two equi-join shuffles and
+    one agg, no theta/cartesian join anywhere. The oracle enumerates the
+    same canonical a<b<c triangles with three plain joins; counts are
+    exact integers, so it hash-matches bit-for-bit."""
+    from polipus_spark.operators.graph import triangle_counts
+
+    ev = _events(spark, sf_dir)
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 97).cast("bigint").alias("dst"),
+    )
+    return triangle_counts(edges)
+
+
+_TRIANGLES_SQL = """
+  WITH raw AS (
+    SELECT least(user_id, CAST(event_id % 97 AS BIGINT)) AS u,
+           greatest(user_id, CAST(event_id % 97 AS BIGINT)) AS v
+    FROM events WHERE user_id <> event_id % 97),
+  e AS (SELECT DISTINCT u, v FROM raw),
+  tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1 JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+  nodes AS (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri)
+  SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM nodes GROUP BY node
+"""
+
+
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + LOCF (r4): per-event-type 15-min activity
+    series densified onto the full global bucket grid — gap buckets get
+    n_events/sum 0 and carry the last observed bucket sum forward
+    (TimescaleDB time_bucket_gapfill + locf semantics). The grid is
+    generated distributed (distinct keys × broadcast bounds × sequence
+    explode — 14.4k rows at sf0.01, never collected), then one left
+    equi-join and one keyed window (operators/asof.gap_fill). Integer
+    cents keep the LOCF column hash-exact vs the oracle's
+    last_value(... IGNORE NULLS) window."""
+    from polipus_spark.operators.asof import gap_fill
+
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy(
+        "event_type",
+        (F.floor(F.unix_timestamp("ts") / 900) * 900)
+        .cast("bigint").alias("bucket"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+         .cast("bigint").alias("sum_value_cents"),
+    )
+    return gap_fill(
+        agg, keys=["event_type"], bucket_col="bucket",
+        count_cols=["n_events", "sum_value_cents"],
+        locf_cols=["sum_value_cents"], step=900,
+    )
+
+
+_GAPFILL_SQL = """
+  WITH agg AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_value_cents
+    FROM events GROUP BY 1, 2),
+  bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+  grid AS (
+    SELECT k.event_type, gs.bucket
+    FROM (SELECT DISTINCT event_type FROM agg) k
+    CROSS JOIN bounds
+    CROSS JOIN LATERAL (
+      SELECT unnest(generate_series(bounds.lo, bounds.hi, 900)) AS bucket
+    ) gs)
+  SELECT g.event_type, g.bucket,
+         COALESCE(a.n_events, 0) AS n_events,
+         COALESCE(a.sum_value_cents, 0) AS sum_value_cents,
+         last_value(a.sum_value_cents IGNORE NULLS) OVER (
+           PARTITION BY g.event_type ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sum_value_cents_locf
+  FROM grid g LEFT JOIN agg a USING (event_type, bucket)
+"""
+
+
 _ROLLUP_T0 = 1704067200  # 2024-01-01 00:00:00 UTC — events epoch start
 _ROLLUP_FROM = _ROLLUP_T0 + 6 * 3600
 _ROLLUP_SPLIT = _ROLLUP_T0 + 18 * 3600
@@ -1422,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_rollup_agg": q_events_rollup_agg,
         "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
+        "events_gapfill": q_events_gapfill,
         "text_bm25_topk": q_text_bm25_topk,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "dedup_semantic": q_dedup_semantic,
@@ -2361,6 +2456,8 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY event_type
         """,
         "graph_pagerank": _pagerank_sql(n_iter=3),
+        "graph_triangles": _TRIANGLES_SQL,
+        "events_gapfill": _GAPFILL_SQL,
         "text_bm25_topk": _bm25_sql(k=5),
         "sim_ann_recall": f"""
           SELECT CAST(floor(

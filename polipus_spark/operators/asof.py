@@ -71,6 +71,65 @@ def asof_join(
     )
 
 
+def gap_fill(
+    df: DataFrame,
+    keys: list[str],
+    bucket_col: str,
+    count_cols: list[str],
+    locf_cols: list[str],
+    step: int = 1,
+) -> DataFrame:
+    """Densify a per-(keys, bucket) aggregate onto the full bucket grid and
+    forward-fill: every key series gets one row per bucket from the GLOBAL
+    min to max bucket (``step`` apart); in gap rows, ``count_cols`` become
+    0 and each ``locf_cols`` value carries the last observed value for
+    that series (NULL before the series' first observation). The
+    timeseries gap-fill + LOCF primitive (TimescaleDB ``time_bucket_gapfill``
+    + ``locf``) the hypertable rollup family needs for plotting/joining
+    regular grids.
+
+    Scale shape: the bounds are a 1-row agg (broadcast); the grid is
+    distinct-keys × sequence-explode — |K|·(range/step) rows generated
+    parallel by key, NEVER collected; one left equi-join shuffle on
+    (keys, bucket) and one keyed window sort. All linear in grid size;
+    grid size itself is the user's contract (pick ``step`` so
+    range/step ≈ the points a consumer can plot, not raw event count).
+    """
+    bounds = df.agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    grid = (
+        df.select(*keys)
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *keys,
+            F.explode(
+                F.sequence(F.col("_lo"), F.col("_hi"), F.lit(step))
+            ).alias(bucket_col),
+        )
+    )
+    filled = grid.join(df, [*keys, bucket_col], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(bucket_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = filled.select(
+        *keys,
+        bucket_col,
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in count_cols
+        ],
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(f"{c}_locf")
+            for c in locf_cols
+        ],
+    )
+    return out
+
+
 def range_join(
     points: DataFrame,
     intervals: DataFrame,

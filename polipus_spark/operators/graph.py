@@ -23,6 +23,69 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over the UNDIRECTED graph of
+    ``edges`` (src, dst) → (node, n_tri), nodes in ≥1 triangle only.
+
+    Degree-oriented enumeration (the standard distributed formulation):
+    canonicalize to unique undirected edges, orient every edge from the
+    endpoint with the smaller (degree, id) to the larger, build wedges by
+    self-joining oriented edges on their source, and close each wedge with
+    an equi-join back to the oriented edge set. Orientation bounds every
+    node's out-degree by O(sqrt(m)) — the wedge fan-out is m^1.5 worst
+    case instead of sum(deg^2), which is what makes the plan survive
+    power-law degree skew (a 10^7-degree hub contributes wedges only
+    through its LOW-degree neighbours). Two equi-join shuffles + one
+    count agg; no theta join, no cartesian anywhere.
+
+    Counts are exact integers, so the DuckDB oracle (same CTE chain)
+    hash-matches bit-for-bit."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=True)
+    o1 = oriented.select(F.col("a"), F.col("b").alias("x"), F.col("db").alias("dx"))
+    o2 = oriented.select(F.col("a"), F.col("b").alias("y"), F.col("db").alias("dy"))
+    wedges = o1.join(o2, "a").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("a").alias("x"), F.col("b").alias("y")),
+        ["x", "y"],
+    ).select(F.col("a"), F.col("x"), F.col("y"))
+    return (
+        tris.select(
+            F.explode(F.array(F.col("a"), F.col("x"), F.col("y"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,

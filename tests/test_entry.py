@@ -56,7 +56,10 @@ def test_no_entry_is_an_expression_bomb(spark):
     expression bomb (r3: band_sketches cost 283 s at sf0.01, truncating the
     driver's correctness ledger) is caught by pytest instead of by a
     half-empty CORRECTNESS ledger. Analysis cost is sf-independent, so
-    sf0.001 with a 75 s/entry budget catches the failure mode cheaply.
+    sf0.001 with a 150 s/entry budget catches the failure mode cheaply
+    (the bomb class it guards against is ≥250 s; 150 s tolerates a 2-3×
+    co-tenant slowdown of the ~30-45 s crawl E2E entry — r4: a concurrent
+    Spark job pushed it to 93 s and tripped the old 75 s cap falsely).
     Every entry EXECUTES fully (noop sink — no collect, no row caps)."""
     import time
 
@@ -65,6 +68,6 @@ def test_no_entry_is_an_expression_bomb(spark):
         t0 = time.monotonic()
         fn(spark, SF).write.format("noop").mode("overwrite").save()
         dt = time.monotonic() - t0
-        if dt > 75.0:
+        if dt > 150.0:
             slow[name] = round(dt, 1)
-    assert not slow, f"entries over the 75s sf0.001 budget: {slow}"
+    assert not slow, f"entries over the 150s sf0.001 budget: {slow}"

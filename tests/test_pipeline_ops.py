@@ -1247,3 +1247,47 @@ def test_pq_train_encode_topk(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_train(emb, m=5)
+
+
+def test_triangle_counts_hand_cases(spark):
+    """K4 → every node in 3 triangles; a path has none; reversed and
+    duplicate edges collapse before orientation so they never double-count."""
+    from polipus_spark.operators.graph import triangle_counts
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(k4).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert triangle_counts(path).count() == 0
+
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (1, 1)],
+        "src long, dst long")
+    got = {r["node"]: r["n_tri"] for r in triangle_counts(messy).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_gap_fill_hand_cases(spark):
+    """Grid spans the GLOBAL min..max for every key; gap rows zero-fill
+    counts; LOCF carries the last observed value and stays NULL before a
+    series' first observation."""
+    from polipus_spark.operators.asof import gap_fill
+
+    df = spark.createDataFrame(
+        [("a", 0, 2, 100), ("a", 30, 1, 700), ("b", 20, 5, 900)],
+        "k string, bucket long, n long, v long")
+    rows = gap_fill(df, keys=["k"], bucket_col="bucket",
+                    count_cols=["n"], locf_cols=["v"], step=10).collect()
+    got = {(r["k"], r["bucket"]): (r["n"], r["v_locf"]) for r in rows}
+    assert len(got) == 8  # 2 keys x buckets {0,10,20,30}
+    assert got[("a", 0)] == (2, 100)
+    assert got[("a", 10)] == (0, 100)
+    assert got[("a", 20)] == (0, 100)
+    assert got[("a", 30)] == (1, 700)
+    assert got[("b", 0)] == (0, None)
+    assert got[("b", 10)] == (0, None)
+    assert got[("b", 20)] == (5, 900)
+    assert got[("b", 30)] == (0, 900)

@@ -139,6 +139,19 @@ def main() -> None:
         "queried hours' directories are read); the raw side is only the "
         "post-watermark tail; both re-aggregate through one small "
         "exchange on event_type.",
+        "graph_triangles": "degree-oriented triangle counting (r4): both "
+        "the wedge self-join and the closing join are hash EQUI-joins "
+        "(no theta/cartesian anywhere); orientation by (degree, id) "
+        "bounds every wedge source's fan-out by O(sqrt(m)), so the plan "
+        "survives power-law hubs — the hub's wedges route through its "
+        "low-degree neighbours.",
+        "events_gapfill": "gap-fill + LOCF (r4): the grid generator is a "
+        "1-row broadcast bounds crossJoin + sequence explode over the "
+        "distinct keys — generated distributed, never collected; then ONE "
+        "left BroadcastHashJoin/SortMergeJoin on (key, bucket) and ONE "
+        "keyed window for the ignorenulls running last(). Grid size is "
+        "the user's plotting contract (|K|·range/step), independent of "
+        "raw event count.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
