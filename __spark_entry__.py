@@ -889,6 +889,52 @@ _TRIANGLES_SQL = """
 """
 
 
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (r4) over the deterministic event
+    graph — composes the degree aggregation with triangle_counts; the
+    coefficient is emitted as the floor-scaled BIGINT
+    (2·n_tri·10^4) div (deg·(deg−1)), so the oracle (same canonical
+    triangle enumeration + identical integer division) hash-matches
+    bit-for-bit. deg < 2 nodes excluded by convention."""
+    from polipus_spark.operators.graph import clustering_coefficients
+
+    ev = _events(spark, sf_dir)
+    edges = ev.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 97).cast("bigint").alias("dst"),
+    )
+    return clustering_coefficients(edges, scale=10_000)
+
+
+_CLUSTERING_SQL = """
+  WITH raw AS (
+    SELECT least(user_id, CAST(event_id % 97 AS BIGINT)) AS u,
+           greatest(user_id, CAST(event_id % 97 AS BIGINT)) AS v
+    FROM events WHERE user_id <> event_id % 97),
+  e AS (SELECT DISTINCT u, v FROM raw),
+  deg AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+    GROUP BY node),
+  tri AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1 JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+  tc AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+      SELECT a AS node FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    GROUP BY node)
+  SELECT d.node, d.deg,
+         CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+         CAST((2 * COALESCE(t.n_tri, 0) * 10000) // (d.deg * (d.deg - 1))
+              AS BIGINT) AS cc_scaled
+  FROM deg d LEFT JOIN tc t USING (node)
+  WHERE d.deg >= 2
+"""
+
+
 def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series gap-fill + LOCF (r4): per-event-type 15-min activity
     series densified onto the full global bucket grid — gap buckets get
@@ -1516,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_agg": q_events_rollup_agg,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
+        "graph_clustering": q_graph_clustering,
         "events_gapfill": q_events_gapfill,
         "text_bm25_topk": q_text_bm25_topk,
         "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
@@ -2457,6 +2504,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_sql(n_iter=3),
         "graph_triangles": _TRIANGLES_SQL,
+        "graph_clustering": _CLUSTERING_SQL,
         "events_gapfill": _GAPFILL_SQL,
         "text_bm25_topk": _bm25_sql(k=5),
         "sim_ann_recall": f"""

@@ -266,9 +266,9 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "sim_ivfpq_topk", "dedup_incremental", "text_bpe_merges",
         "events_asof_join", "events_range_join", "events_rollup_agg",
         "graph_pagerank", "text_bm25_topk",
-        # r4 fourth batch: degree-oriented triangle counting and
-        # gap-fill + LOCF series densification
-        "graph_triangles", "events_gapfill",
+        # r4 fourth batch: degree-oriented triangle counting, local
+        # clustering coefficients, and gap-fill + LOCF densification
+        "graph_triangles", "graph_clustering", "events_gapfill",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

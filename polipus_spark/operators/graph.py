@@ -86,6 +86,46 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def clustering_coefficients(edges: DataFrame, scale: int = 10_000) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected graph of
+    ``edges``: cc = 2·triangles(node) / (deg·(deg−1)), emitted as the
+    floor-scaled integer ``cc_scaled = (2·n_tri·scale) div (deg·(deg−1))``
+    alongside the exact ``deg`` and ``n_tri`` — every output column is a
+    BIGINT, so the DuckDB oracle hash-matches bit-for-bit. Nodes with
+    deg < 2 have no defined coefficient and are excluded (the standard
+    convention); nodes in no triangle report 0.
+
+    One extra degree aggregation + a left join over triangle_counts —
+    inherits its m^1.5 skew bound; no new anti-pattern."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    tri = triangle_counts(edges)
+    return (
+        deg.where(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_tri"),
+            F.expr(
+                f"div(2 * coalesce(n_tri, 0) * {scale}, deg * (deg - 1))"
+            ).cast("bigint").alias("cc_scaled"),
+        )
+    )
+
+
 def pagerank(
     edges: DataFrame,
     n_iter: int = 3,

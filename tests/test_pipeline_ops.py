@@ -1291,3 +1291,21 @@ def test_gap_fill_hand_cases(spark):
     assert got[("b", 10)] == (0, None)
     assert got[("b", 20)] == (5, 900)
     assert got[("b", 30)] == (0, 900)
+
+
+def test_clustering_coefficients_hand_cases(spark):
+    """K4 → cc = 1.0 (10000 scaled) everywhere; a path's middle node has
+    deg 2 but no triangle → cc 0; deg<2 endpoints are excluded."""
+    from polipus_spark.operators.graph import clustering_coefficients
+
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src long, dst long")
+    got = {r["node"]: (r["deg"], r["n_tri"], r["cc_scaled"])
+           for r in clustering_coefficients(k4).collect()}
+    assert got == {n: (3, 3, 10000) for n in range(4)}
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    got = {r["node"]: (r["deg"], r["n_tri"], r["cc_scaled"])
+           for r in clustering_coefficients(path).collect()}
+    assert got == {2: (2, 0, 0)}
