@@ -145,6 +145,10 @@ def main() -> None:
         "bounds every wedge source's fan-out by O(sqrt(m)), so the plan "
         "survives power-law hubs — the hub's wedges route through its "
         "low-degree neighbours.",
+        "graph_clustering": "clustering coefficients (r4): the degree agg "
+        "+ left join layered over the triangle plan — the coefficient is "
+        "a single integer-division Project, so the whole addition beyond "
+        "triangle counting is one narrow node-key join.",
         "events_gapfill": "gap-fill + LOCF (r4): the grid generator is a "
         "1-row broadcast bounds crossJoin + sequence explode over the "
         "distinct keys — generated distributed, never collected; then ONE "
