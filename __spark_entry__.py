@@ -1073,7 +1073,8 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes/vector, and an exact float re-rank touches k·overfetch rows.
     The oracle unrolls the whole thing (_ivfpq_sql): coarse assign,
     residuals, grouped-Lloyd PQ training, encoding, per-(query, list)
-    ADC over query residuals, the overfetch cut, and the float re-rank."""
+    ADC over the full query vector, the overfetch cut, and the float
+    re-rank."""
     import tempfile
 
     from polipus_spark.functions.similarity import build_ivfpq_index, ivfpq_topk
@@ -1864,7 +1865,9 @@ def _ivfpq_sql(k_coarse: int = 8, m: int = 4, k_codes: int = 4,
     assignment, residuals x − c_coarse(x) in double, the grouped-Lloyd PQ
     training over the residual subspaces (same iteration block as
     _pq_topk_sql), encoding, the per-(query, probed-list) ADC table over
-    QUERY residuals, approx = (q·c + Σⱼ partⱼ in subspace order)/‖x‖,
+    the FULL query vector (score = q·c + q·r̂ — a query-residual table
+    would add a candidate-dependent −c·r̂ bias to the overfetch cut),
+    approx = (q·c + Σⱼ partⱼ in subspace order)/‖x‖,
     the k·overfetch candidate cut, and the exact float-cosine re-rank.
     Determinism: every rank cut orders by (score, id); exact score ties sum
     identical parts in subspace order in both engines; assignment /
@@ -1934,15 +1937,13 @@ def _ivfpq_sql(k_coarse: int = 8, m: int = 4, k_codes: int = 4,
             FROM embeddings q, cents c WHERE q.vec_id < {n_q})
           WHERE _rn <= {n_probe}),
         qres AS (
-          SELECT p.query_id, p.centroid_id,
-                 list_transform(range(1, len(e.v) + 1),
-                                i -> e.v[i] - cd.cd[i]) AS qr,
+          SELECT p.query_id, p.centroid_id, e.v AS qv,
                  list_inner_product(e.v, cd.cd) AS qc_dot
           FROM probe p JOIN ev e ON e.vec_id = p.query_id
           JOIN centd cd USING (centroid_id)),
         qsub AS (
           SELECT query_id, centroid_id, j AS subspace,
-                 list_slice(qr, j*{sub} + 1, (j+1)*{sub}) AS sv
+                 list_slice(qv, j*{sub} + 1, (j+1)*{sub}) AS sv
           FROM qres, unnest(range(0, {m})) AS t(j)),
         tab AS (
           SELECT q.query_id, q.centroid_id, q.subspace, c.cid,

@@ -192,7 +192,12 @@ class SnapshotTable:
                 schema = T.StructType.fromJson(manifest["schema"])
                 return self.spark.createDataFrame([], schema)
             raise ValueError(f"table {self.name} is empty and has no schema yet")
-        return self.spark.read.parquet(*dirs)
+        # mergeSchema: snapshots written across sessions may differ in
+        # columns (e.g. `spans` vs `spans_z` when compress_body was toggled
+        # on an existing store) — without it one side's column silently
+        # disappears from the union. Schema-evolution reads are exactly
+        # what an Iceberg-style table must survive.
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
     def read_latest_by(self, key_cols: list[str], order_extra: list[str] | None = None,
                        as_of: int | None = None) -> DataFrame:

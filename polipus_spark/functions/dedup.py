@@ -234,6 +234,7 @@ def incremental_dedup_pairs(
     min_matches: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    store_df: DataFrame | None = None,
 ) -> DataFrame:
     """New-batch-vs-store near-dup pairs → (new_id, old_id, n_match).
 
@@ -265,7 +266,7 @@ def incremental_dedup_pairs(
             F.posexplode(F.array(*bands)).alias("band", "bucket"),
         )
 
-    store = spark.read.parquet(store_dir)
+    store = store_df if store_df is not None else spark.read.parquet(store_dir)
     new_sigs = minhash_signature_agg(new_docs, id_col, text_col, n_perm, shingle_k)
     old_b = _banded(store, "old_id", "m")
     new_b = _banded(new_sigs, "new_id", "nm")

@@ -1024,7 +1024,7 @@ def ivfpq_topk(
 
       1. **probe** — cosine vs the K coarse centroids, keep n_probe lists
          per query (broadcast; triggers DPP on the vectors scan);
-      2. **ADC** — per (query, probed list) the query residual's m
+      2. **ADC** — per (query, probed list) the FULL query vector's m
          subvectors dot every codebook centroid → a Q·n_probe·m·K lookup
          table (broadcast); each candidate's approximate cosine is
          (dot(q, c_coarse) + Σⱼ table[j, code_j]) / ‖x‖ — computed from
@@ -1053,11 +1053,11 @@ def ivfpq_topk(
         .where(F.col("_rn") <= n_probe)
         .select(
             "query_id", "centroid_id", "_qv",
-            F.zip_with(
-                F.transform("_qv", lambda x: x.cast("double")),
-                F.transform("_cent", lambda x: x.cast("double")),
-                lambda x, c: x - c,
-            ).alias("_qr"),
+            # ADC table dots the FULL query vector against the codebook:
+            # score = dot(q, c) + dot(q, r̂). Slicing the query residual
+            # here instead would add a candidate-dependent −dot(c, r̂)
+            # term that biases the overfetch cut and lowers recall.
+            F.transform("_qv", lambda x: x.cast("double")).alias("_qd"),
             dot(
                 F.transform("_qv", lambda x: x.cast("double")),
                 F.transform("_cent", lambda x: x.cast("double")),
@@ -1068,7 +1068,7 @@ def ivfpq_topk(
         "query_id", "centroid_id",
         F.explode(F.array(*[
             F.struct(F.lit(j).alias("subspace"),
-                     F.slice(F.col("_qr"), j * sub_len + 1, sub_len).alias("_sv"))
+                     F.slice(F.col("_qd"), j * sub_len + 1, sub_len).alias("_sv"))
             for j in range(m)
         ])).alias("_s"),
     ).select("query_id", "centroid_id",

@@ -139,9 +139,14 @@ def kmv_distinct(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     Returns one row: (n_hashes, kth_min_hash, est_distinct_x4).
     """
     est_row = hll_distinct(df, key).collect()[0]  # 1 row, bounded
-    n_est = max(1, est_row["est_distinct_x4"] // SCALE)
+    # est_distinct_x4 is NULL on an empty / all-null-key input (sum over
+    # zero buckets); treat that as 0 distinct so the threshold pass is a
+    # no-op instead of a TypeError.
+    n_est = max(1, (est_row["est_distinct_x4"] or 0) // SCALE)
     h = hash60(key)
-    hashes = df.select(h.alias("h"))
+    # null keys hash to NULL — they carry no distinct value and would
+    # otherwise survive dropDuplicates as one spurious row
+    hashes = df.select(h.alias("h")).where(F.col("h").isNotNull())
     if n_est > 8 * k:
         # integer threshold: (2^60 / n_est) * 8k, computed without doubles
         threshold = ((1 << HASH_BITS) // n_est) * 8 * k

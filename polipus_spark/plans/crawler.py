@@ -276,14 +276,24 @@ class PolipusCrawler:
             # X8 read path (mongo_store.rb:70-77): inflate + re-parse the
             # deflated span JSON. Lazy per-row and projection-pruned —
             # consumers that never select spans never pay the inflate.
+            # A store can mix snapshots written with and without
+            # compress_body (option toggled across sessions): rows written
+            # plain carry spans and a NULL spans_z, so coalesce per row
+            # rather than overwrite — otherwise the plain rows' spans
+            # would be nulled.
             from polipus_spark.functions.serde import inflate_stored_body
             from polipus_spark.sources.corpus import DOCS_SCHEMA
 
-            st = st.withColumn(
-                "spans",
-                F.from_json(inflate_stored_body(F.col("spans_z")),
-                            DOCS_SCHEMA["spans"].dataType),
-            ).drop("spans_z")
+            inflated = F.from_json(
+                inflate_stored_body(F.col("spans_z")),
+                DOCS_SCHEMA["spans"].dataType,
+            )
+            if "spans" in st.columns:
+                st = st.withColumn(
+                    "spans", F.coalesce(F.col("spans"), inflated)
+                ).drop("spans_z")
+            else:
+                st = st.withColumn("spans", inflated).drop("spans_z")
         return st
 
     def remove_pages(self, uuids) -> None:

@@ -213,6 +213,70 @@ def streaming_dedup_ingest(
     return writer.start()
 
 
+def neardedup_batch_processor(
+    out_dir: str,
+    store_dir: str,
+    min_matches: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """The per-micro-batch function behind
+    :func:`streaming_neardedup_ingest`, exposed so its per-batch_id
+    idempotence is directly testable: calling it twice with the same
+    (batch_df, batch_id) — the ``foreachBatch`` retry case — must leave
+    the sink and store byte-identical to one call."""
+    import os
+
+    from polipus_spark.functions.dedup import (
+        incremental_dedup_pairs, lsh_candidate_pairs, minhash_signature_agg,
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+
+        def _has_data(d: str) -> bool:
+            for _root, _dirs, files in os.walk(d):
+                if any(not f.startswith(("_", ".")) for f in files):
+                    return True
+            return False
+
+        b = batch_df.persist()
+        try:
+            if os.path.exists(store_dir) and _has_data(store_dir):
+                store = (
+                    spark.read.option("recursiveFileLookup", "true")
+                    .parquet(store_dir)
+                )
+                hits = incremental_dedup_pairs(
+                    spark, b, store_dir, min_matches=min_matches,
+                    id_col=id_col, text_col=text_col, store_df=store,
+                ).select(F.col("new_id").alias(id_col)).distinct()
+                b2 = b.join(hits, id_col, "left_anti")
+            else:
+                b2 = b
+            losers = lsh_candidate_pairs(b2, id_col=id_col, text_col=text_col) \
+                .select(F.col("id_b").alias(id_col)).distinct()
+            survivors = b2.join(losers, id_col, "left_anti").persist()
+            (
+                survivors.withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch").parquet(out_dir)
+            )
+            (
+                minhash_signature_agg(survivors, id_col, text_col)
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch").parquet(store_dir)
+            )
+            survivors.unpersist()
+        finally:
+            b.unpersist()
+
+    return _process
+
+
 def streaming_neardedup_ingest(
     docs_stream: DataFrame,
     out_dir: str,
@@ -234,42 +298,25 @@ def streaming_neardedup_ingest(
          anything ingested in ANY earlier batch, not just exact copies);
       2. drops within-batch band-collision losers (min-id survivor, the
          same policy as ``dedup.fuzzy_dedup``);
-      3. appends the survivors to the parquet sink and their signatures
-         to the store, so the NEXT batch probes against them.
+      3. writes the survivors to the parquet sink and their signatures
+         to the store (both under this batch's ``ingest_batch=`` partition),
+         so the NEXT batch probes against them.
 
-    Consistency: the sink is exactly-once (sink checkpoint); the store
-    append is at-least-once on retry — a duplicated signature is harmless
-    (it can only re-flag true near-dups, never drop a novel doc). The
-    store stays ~130 B/doc, probed by broadcast — the 100 TB posture of
-    the batch operator, per micro-batch."""
-    import os
-
-    from polipus_spark.functions.dedup import (
-        build_minhash_store, incremental_dedup_pairs, lsh_candidate_pairs,
+    Consistency — idempotent per batch_id, hence effectively-once:
+    ``foreachBatch`` is at-least-once, so BOTH writes are batch_id-scoped
+    dynamic-partition overwrites (``ingest_batch={batch_id}``): a
+    micro-batch retry recomputes the same survivor set (the store probe is
+    self-match-excluded, so a failed attempt's own store partition never
+    drops a survivor) and overwrites the same two partitions instead of
+    appending duplicates. The probe reads the store with
+    ``recursiveFileLookup`` so a root-level store pre-built by
+    :func:`build_minhash_store` composes with the partitioned streaming
+    appends. The store stays ~130 B/doc, probed by broadcast — the 100 TB
+    posture of the batch operator, per micro-batch."""
+    _process = neardedup_batch_processor(
+        out_dir, store_dir, min_matches=min_matches,
+        id_col=id_col, text_col=text_col,
     )
-
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        b = batch_df.persist()
-        try:
-            if os.path.exists(os.path.join(store_dir, "_SUCCESS")):
-                hits = incremental_dedup_pairs(
-                    spark, b, store_dir, min_matches=min_matches,
-                    id_col=id_col, text_col=text_col,
-                ).select(F.col("new_id").alias(id_col)).distinct()
-                b2 = b.join(hits, id_col, "left_anti")
-            else:
-                b2 = b
-            losers = lsh_candidate_pairs(b2, id_col=id_col, text_col=text_col) \
-                .select(F.col("id_b").alias(id_col)).distinct()
-            survivors = b2.join(losers, id_col, "left_anti").persist()
-            survivors.write.mode("append").parquet(out_dir)
-            build_minhash_store(survivors, store_dir, id_col=id_col,
-                                text_col=text_col, mode="append")
-            survivors.unpersist()
-        finally:
-            b.unpersist()
-
     writer = (
         docs_stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)

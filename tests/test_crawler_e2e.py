@@ -308,3 +308,32 @@ def test_compress_body_roundtrip(spark, work_dir, tmp_path):
     # compaction + remove keep working over the compressed schema
     cz.remove_pages([next(iter(span_map(cz)))])
     assert cz.pages_df().count() == cp.pages_df().count() - 1
+
+
+def test_compress_body_toggled_across_sessions(spark, work_dir):
+    """A store whose snapshots mix plain-`spans` rows (compress_body=False
+    session) with `spans_z` rows (compress_body=True session on the SAME
+    store) must read back every row's spans: catalog.read merges the two
+    schemas and _pages_state coalesces per row instead of overwriting —
+    neither side's spans may be silently nulled."""
+    docs = gen_corpus(n_hosts=2, max_docs_per_host=4, with_redirect_chain=False)
+
+    # session 1: plain store, host0 only
+    opts_plain = CrawlOptions(depth_limit=1, max_waves=10)
+    c1 = PolipusCrawler(spark, corpus_df(spark, docs), opts_plain, work_dir)
+    c1.takeover(["http://host0.example.com/"])
+    n1 = c1.pages_df().count()
+    assert n1 > 0
+
+    # session 2: reopen the SAME store with compression on, crawl host1
+    opts_z = CrawlOptions(depth_limit=1, max_waves=10, compress_body=True)
+    c2 = PolipusCrawler(spark, corpus_df(spark, docs), opts_z, work_dir)
+    c2.takeover(["http://host1.example.com/"])
+    pages = c2.pages_df()
+    assert pages.count() > n1  # both sessions' pages visible
+    # every row — plain-written AND compressed-written — has its spans
+    assert pages.where(F.col("spans").isNull()).count() == 0
+    kinds = {r["k"] for r in pages.select(
+        F.explode("spans").alias("s")).select(
+        F.col("s.kind").alias("k")).collect()}
+    assert "text" in kinds

@@ -53,6 +53,18 @@ def test_kmv_close_and_threshold_path(spark, events):
     assert filtered["kth_min_hash"] == unfiltered[-1]["h"]
 
 
+def test_kmv_empty_and_all_null_inputs(spark, events):
+    """Empty (or all-null-key) input: the HLL pre-pass estimate is NULL
+    (sum over zero buckets) — kmv must return a 0-count row, not raise
+    TypeError on the driver-side integer division."""
+    empty = events.where(F.lit(False))
+    row = kmv_distinct(empty, _key(), k=16).collect()[0]
+    assert row["n_hashes"] == 0
+    nulls = spark.createDataFrame([(None,), (None,)], "k string")
+    row = kmv_distinct(nulls, F.col("k"), k=16).collect()[0]
+    assert row["n_hashes"] == 0
+
+
 def test_cms_never_underestimates(spark, events):
     key = F.col("user_id").cast("string")
     sketch = cms_build(events, key)

@@ -139,6 +139,53 @@ def test_streaming_neardedup_ingest(spark):
     assert spark.read.parquet(store).count() == 3  # one signature/survivor
 
 
+def test_neardedup_batch_retry_is_idempotent(spark):
+    """foreachBatch is at-least-once: replaying the SAME (batch, batch_id)
+    — the retry case — must leave sink and store identical to one run
+    (batch-scoped dynamic-partition overwrite, not append). Covers both
+    retry orders: a fresh batch replayed, and a batch replayed AFTER its
+    own first attempt already committed the store partition (the case
+    where the probe sees the batch's own signatures)."""
+    import os
+
+    from polipus_spark.streaming.waves import neardedup_batch_processor
+
+    base = tempfile.mkdtemp()
+    out, store = os.path.join(base, "out"), os.path.join(base, "store")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    long_a = ("the quick brown fox jumps over the lazy dog near the quiet "
+              "river bank every single morning before sunrise arrives while "
+              "fishermen prepare their small wooden boats and seagulls circle "
+              "slowly above the misty harbor waiting for the first catch")
+    near_a = long_a.replace("misty", "foggy")  # in-batch near-dup pair
+    novel = ("entirely new prose describing alpine meadows and the slow "
+             "migration of glaciers across ancient valleys over millennia")
+    batch = spark.createDataFrame(
+        [(1, long_a), (2, near_a), (3, novel)], schema)
+    proc = neardedup_batch_processor(out, store, min_matches=12)
+
+    proc(batch, 0)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 3]  # 2 dropped as in-batch near-dup loser
+    # retry AFTER commit: the store already holds this batch's survivors
+    proc(batch, 0)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == first  # no duplicated sink rows, no mis-dropped doc
+    assert spark.read.parquet(store).count() == 2  # one signature/survivor
+
+    # a later batch still probes the (non-duplicated) store correctly
+    batch2 = spark.createDataFrame(
+        [(9, long_a.replace("quiet", "silent"))], schema)
+    proc(batch2, 1)
+    proc(batch2, 1)
+    final = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert final == [1, 3]  # 9 is a near-dup of stored 1
+    assert spark.read.parquet(store).count() == 2
+
+
 def test_streaming_sessionize_stateful(spark):
     """applyInPandasWithState sessionization: per-user state (last_ts,
     session counter) carries ACROSS micro-batches — the streaming twin of
