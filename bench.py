@@ -7,11 +7,18 @@ Prints ONE JSON line:
 
 The headline metric is the BASELINE.json one: URLs scheduled+deduped per
 second on a synthetic Zipf-skewed frontier — one full scheduling pass =
-salted window-rank politeness pop + exact anti-join dedup against a seen
-set (the per-wave hot path of the crawl engine). Scaling evidence (north
-rule: N → 4N cluster) is gathered by running the identical job at
-``local[8]`` and ``local[32]`` on identical input and reporting throughput
-at both plus efficiency = (thr_hi / thr_lo) / (cores_hi / cores_lo).
+salted window-rank politeness pop (BUDGETED per-host A6 budgets — the
+north-rule production configuration; r4 verdict #7 promoted it from
+variant to headline) + exact anti-join dedup against a seen set (the
+per-wave hot path of the crawl engine).
+
+Scaling evidence (north rule: N → 4N cluster) uses the INTERLEAVED-PAIRS
+protocol: alternate ``local[CORES_LO]`` / ``local[CORES_HI]`` subprocess
+passes over the identical fixture so each (lo, hi) pair shares its
+hypervisor noise window, compute efficiency per pair, report the MEDIAN
+of pairs. r4 proved min-of-independent-legs is noise-fragile (driver
+0.769 vs local 0.890 on unchanged code); the per-pair ratio was validated
+by the r4 skew legs ("stable even when absolute times are not").
 
 **The default invocation is budgeted** (r2 lesson: the exhaustive default
 timed out under the driver — rc 124, zero driver-verified numbers). A
@@ -23,11 +30,11 @@ default and cost ~15 subprocess JVM legs).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_FRONTIER_URLS (default 16_000_000),
-BENCH_SCALING_URLS (default half the frontier — cheaper reps, wider
-min-of-reps margin), BENCH_BUDGET_SEC (default 840), BENCH_VARIANTS=1 to
-add the Bloom/budgeted variant legs, BENCH_SKEW=1 to add the Zipf-2.0
-salt-1-vs-8 skew-stress legs, BENCH_SKIP_SCALING=1 to skip the two-level
-run.
+BENCH_SCALING_URLS (default half the frontier — cheaper passes),
+BENCH_SCALING_PAIRS (default 3 interleaved lo/hi pairs),
+BENCH_BUDGET_SEC (default 840), BENCH_VARIANTS=1 to add the Bloom/exact
+variant legs, BENCH_SKEW=1 to add the Zipf-2.0 salt-1-vs-8 skew-stress
+legs, BENCH_SKIP_SCALING=1 to skip the scaling pairs.
 """
 
 from __future__ import annotations
@@ -55,12 +62,13 @@ N_FRONTIER = int(os.environ.get("BENCH_FRONTIER_URLS", "16000000"))
 # headline absolute throughput.
 CORES_LO = int(os.environ.get("BENCH_CORES_LO", "1"))
 CORES_HI = int(os.environ.get("BENCH_CORES_HI", "4"))
-# The scaling legs run on a half-size fixture (identical input for BOTH
+# The scaling legs run on a quarter-size fixture (identical input for BOTH
 # levels — the two-cluster-size protocol only needs the pair to share it):
-# a 1-core pass drops 85 s → ~47 s, so min-of-4/5 reps fits where r3's
-# min-of-2/3 did — the r3 driver run passed 0.805 vs the 0.8 gate on a
-# 2-rep 1-core leg, a one-slow-window-from-failure margin (VERDICT #3).
-N_SCALING = int(os.environ.get("BENCH_SCALING_URLS", str(N_FRONTIER // 2)))
+# a 1-core budgeted pass is ~30-39 s there, long enough that per-pass fixed
+# overhead is <10% of even the 4-core pass (~8-11 s), short enough that
+# three interleaved (lo, hi) pairs fit the driver budget after the query
+# sweep and the headline leg.
+N_SCALING = int(os.environ.get("BENCH_SCALING_URLS", str(N_FRONTIER // 4)))
 # Skew-stress leg (BENCH_SKEW=1): Zipf-2.0 / 8-host frontier (hottest host
 # ≈ 50% of all URLs — a dominant-domain crawl), salted vs unsalted budgeted
 # politeness pop — measures the north rule's hot-domain lever instead of
@@ -315,19 +323,28 @@ def build(cores: int) -> SparkSession:
 
 def _frontier_run_inprocess(cores: int, n_urls: int, reps: int = 4,
                             variant: str = "exact", salt_factor: int = 8,
-                            zipf_s: float = 1.2) -> tuple[int, float]:
+                            zipf_s: float = 1.2,
+                            warmup_urls: int = 0) -> tuple[int, float]:
     """One warm-up (JIT/codegen), then the MIN of ``reps`` timed passes over
     the same parquet fixture. Assumes a FRESH JVM.
 
     Min, not median: this sandbox shows bimodal interference (hypervisor
     noise) that can double any single pass; the minimum is the reproducible
-    capability number and is what a quiet cluster would sustain."""
+    capability number and is what a quiet cluster would sustain.
+
+    ``warmup_urls``: warm up on a SMALLER pre-built fixture (same plan →
+    same codegen) — the scaling pairs use this so a 1-core leg doesn't pay
+    a full-size untimed pass before its single timed one."""
     # skew fixtures (zipf ≠ default) pair with SKEW_HOSTS hosts
     base = prepare_fixture(n_urls, zipf_s=zipf_s,
                            n_hosts=2000 if zipf_s == 1.2 else SKEW_HOSTS)
+    warm_base = base
+    if warmup_urls and warmup_urls != n_urls:
+        warm_base = prepare_fixture(warmup_urls, zipf_s=zipf_s,
+                                    n_hosts=2000 if zipf_s == 1.2 else SKEW_HOSTS)
     spark = build(cores)
     try:
-        frontier_schedule_dedup(spark, base, tag=-1, variant=variant,
+        frontier_schedule_dedup(spark, warm_base, tag=-1, variant=variant,
                                 salt_factor=salt_factor)  # warm-up
         times, n = [], 0
         for i in range(reps):
@@ -409,7 +426,8 @@ def timed_frontier_run(cores: int, n_urls: int, reps: int = 3,
                        variant: str = "exact",
                        timeout_s: float | None = None,
                        salt_factor: int = 8,
-                       zipf_s: float = 1.2) -> tuple[int, float]:
+                       zipf_s: float = 1.2,
+                       warmup_urls: int = 0) -> tuple[int, float]:
     """Run one parallelism level in its OWN subprocess (fresh JVM).
 
     SparkSession.stop() does not tear down the py4j JVM; a second session in
@@ -429,7 +447,7 @@ def timed_frontier_run(cores: int, n_urls: int, reps: int = 3,
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__),
          "--frontier-run", str(cores), str(n_urls), str(reps), variant,
-         str(salt_factor), str(zipf_s)],
+         str(salt_factor), str(zipf_s), str(warmup_urls)],
         capture_output=True, text=True, timeout=timeout_s or 3600,
     )
     passes = [ln for ln in out.stderr.splitlines()
@@ -472,8 +490,11 @@ def _main_legs(result: dict) -> None:
     spark = build(CPUS)
     _log("session up; preparing fixtures")
     prepare_fixture(N_FRONTIER, spark)
-    if os.environ.get("BENCH_SKIP_SCALING") != "1" and N_SCALING != N_FRONTIER:
-        prepare_fixture(N_SCALING, spark)
+    if os.environ.get("BENCH_SKIP_SCALING") != "1":
+        if N_SCALING != N_FRONTIER:
+            prepare_fixture(N_SCALING, spark)
+        # small warm-up fixture for the interleaved scaling pairs
+        prepare_fixture(max(N_SCALING // 8, 500_000), spark)
     if os.environ.get("BENCH_SKEW") == "1":
         prepare_fixture(N_SKEW, spark, zipf_s=2.0, n_hosts=SKEW_HOSTS)
     _log("fixtures ready; running per-operator queries")
@@ -482,7 +503,7 @@ def _main_legs(result: dict) -> None:
     _log("queries done; parent JVM down")
 
     def leg(name, cores, reps, est, variant="exact", n_urls=N_FRONTIER,
-            salt_factor=8, zipf_s=1.2):
+            salt_factor=8, zipf_s=1.2, warmup_urls=0):
         """Budget-disciplined frontier leg: started only if the remaining
         budget covers the estimate, and hard-capped at the remaining budget
         (estimates can't see a slow-hypervisor window — r3's first run
@@ -495,39 +516,85 @@ def _main_legs(result: dict) -> None:
         try:
             _, t = timed_frontier_run(cores, n_urls, reps=reps,
                                       variant=variant, timeout_s=_left(),
-                                      salt_factor=salt_factor, zipf_s=zipf_s)
+                                      salt_factor=salt_factor, zipf_s=zipf_s,
+                                      warmup_urls=warmup_urls)
             return t
         except Exception as e:  # noqa: BLE001 — a dead leg must not kill the JSON
             _log(f"FAILED {name}: {type(e).__name__}")
             result["skipped"].append(f"{name}:{type(e).__name__}")
             return None
 
-    # scaling levels: one FRESH subprocess (fresh JVM) per parallelism level.
-    # reps=4 for the headline: hypervisor interference windows on this box
-    # can double a pass; min-of-4 reliably catches a quiet one.
+    # Headline = the BUDGETED politeness pop (r4 verdict #7): the per-host
+    # budget frame is the north-rule production configuration, so the
+    # reported number is the production path; the fixed-cap exact path
+    # stays measurable as a variant (BENCH_VARIANTS=1).
+    # One FRESH subprocess (fresh JVM); reps=4: hypervisor interference
+    # windows on this box can double a pass; min-of-4 reliably catches a
+    # quiet one.
     scale = N_FRONTIER / 16_000_000
-    t_hi = leg(f"headline:{CPUS}c", CPUS, 4, est=30 + 5 * 15 * scale)
+    t_hi = leg(f"headline:{CPUS}c", CPUS, 4, est=30 + 5 * 15 * scale,
+               variant="budgeted")
     if t_hi:
         result["value"] = round(N_FRONTIER / t_hi, 1)
         result["frontier_urls"] = N_FRONTIER
         result["elapsed_sec"] = round(t_hi, 3)
+        result["variant"] = "budgeted"
 
     if os.environ.get("BENCH_SKIP_SCALING") != "1":
-        # Both levels share the identical half-size fixture; the 1-core leg
-        # is the expensive one — run it first while the budget is freshest.
-        # min-of-4/5 reps: the r3 driver's 2-rep 1-core leg passed the 0.8
-        # gate by 0.005 on hypervisor luck.
-        s_scale = N_SCALING / 16_000_000
-        t_s_lo = leg(f"scaling:{CORES_LO}c", CORES_LO, 4,
-                     est=25 + 5 * 105 * s_scale, n_urls=N_SCALING)
-        t_s_hi = leg(f"scaling:{CORES_HI}c", CORES_HI, 5,
-                     est=25 + 6 * 26 * s_scale, n_urls=N_SCALING)
-        if t_s_lo and t_s_hi:
-            thr_s_hi, thr_s_lo = N_SCALING / t_s_hi, N_SCALING / t_s_lo
+        # North-rule scaling evidence, INTERLEAVED-PAIRS protocol (r4
+        # verdict #1): min-of-reps compared legs measured in DIFFERENT
+        # hypervisor noise windows — r4's driver run flipped 0.890 → 0.769
+        # on window luck alone. Alternate lo-core / hi-core subprocess
+        # passes so each (lo, hi) pair shares its noise window, compute
+        # efficiency PER PAIR, and report the median of pairs — the same
+        # protocol the r4 skew legs validated ("per-pair ratio is stable
+        # even when absolute times are not"). Each leg is one fresh JVM
+        # (fresh-JVM requirement unchanged), warmed up on a small fixture
+        # so the untimed pass doesn't burn the budget, then ONE timed pass.
+        # Both levels share the identical quarter-size fixture + variant.
+        # Each leg: small-fixture warm-up (same plan/codegen), then TWO
+        # timed passes, min within the leg — measured on this box the
+        # second pass is 10-25% faster (JIT tiers + page cache keep
+        # warming), and min-of-2 inside each leg removes that bias from
+        # the pair ratio without decoupling the pair's noise windows.
+        s_scale = N_SCALING / 4_000_000  # measured at 4M: lo ~39 s, hi ~11 s
+        n_warm = max(N_SCALING // 8, 500_000)
+        pairs_goal = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
+        est_lo = 30 + 8 * s_scale + 2 * 42 * s_scale
+        est_hi = 30 + 3 * s_scale + 2 * 12 * s_scale
+        t_los: list[float] = []
+        t_his: list[float] = []
+        effs: list[float] = []
+        for i in range(pairs_goal):
+            if _left() < (est_lo + est_hi) * 1.1:
+                _log(f"scaling pairs truncated at {len(effs)} (budget)")
+                result["skipped"].append(f"scaling:pair{i}")
+                break
+            t_lo = leg(f"scaling:{CORES_LO}c:p{i}", CORES_LO, 2, est=est_lo,
+                       n_urls=N_SCALING, variant="budgeted",
+                       warmup_urls=n_warm)
+            t_hi_p = leg(f"scaling:{CORES_HI}c:p{i}", CORES_HI, 2, est=est_hi,
+                         n_urls=N_SCALING, variant="budgeted",
+                         warmup_urls=n_warm)
+            if t_lo and t_hi_p:
+                t_los.append(t_lo)
+                t_his.append(t_hi_p)
+                eff = (t_lo / t_hi_p) / (CORES_HI / CORES_LO)
+                effs.append(round(eff, 3))
+                _log(f"scaling pair {i}: lo={t_lo:.2f}s hi={t_hi_p:.2f}s "
+                     f"eff={eff:.3f}")
+        if effs:
+            import statistics
+
             result["scaling"] = {
-                "cores_lo": CORES_LO, "throughput_lo": round(thr_s_lo, 1),
-                "cores_hi": CORES_HI, "throughput_hi": round(thr_s_hi, 1),
-                "efficiency": round((thr_s_hi / thr_s_lo) / (CORES_HI / CORES_LO), 3),
+                "protocol": "interleaved-pairs/median",
+                "variant": "budgeted",
+                "cores_lo": CORES_LO,
+                "throughput_lo": round(N_SCALING / min(t_los), 1),
+                "cores_hi": CORES_HI,
+                "throughput_hi": round(N_SCALING / min(t_his), 1),
+                "efficiency": round(statistics.median(effs), 3),
+                "efficiency_pairs": effs,
                 "n_urls": N_SCALING, "full_cores": CPUS,
                 "throughput_full": round(N_FRONTIER / t_hi, 1) if t_hi else None,
             }
@@ -560,11 +627,12 @@ def _main_legs(result: dict) -> None:
             result["skipped"].append("skew")
 
     # hot-path variants: Bloom-probe dedup (the cogroup/applyInPandas numpy
-    # path) and per-host-budget politeness pop — opt-IN (r2: these legs blew
+    # path) and the fixed-cap exact pop (headline until r4; the budgeted
+    # production path took over the headline) — opt-IN (r2: these legs blew
     # the driver budget as defaults), each budget-checked
     if os.environ.get("BENCH_VARIANTS") == "1":
         result["variants"] = {}
-        for variant in ("bloom", "budgeted"):
+        for variant in ("bloom", "exact"):
             t_v = leg(f"variant:{variant}", CPUS, 3, est=30 + 4 * 20 * scale,
                       variant=variant)
             if t_v is None:
@@ -595,8 +663,9 @@ if __name__ == "__main__":
         variant_ = sys.argv[5] if len(sys.argv) > 5 else "exact"
         salt_ = int(sys.argv[6]) if len(sys.argv) > 6 else 8
         zipf_ = float(sys.argv[7]) if len(sys.argv) > 7 else 1.2
+        warm_ = int(sys.argv[8]) if len(sys.argv) > 8 else 0
         n_out, t_out = _frontier_run_inprocess(cores_, n_, reps_, variant_,
-                                               salt_, zipf_)
+                                               salt_, zipf_, warm_)
         print(f"FRONTIER_RESULT {n_out} {t_out}")
     else:
         main()
