@@ -1458,6 +1458,50 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decoding (r5, closing the last multimodal gap): build a
+    real baseline JFIF per doc — DQT, SOF0, canonical DHT, Huffman
+    entropy-coded scan with DC-diff coding and byte stuffing — whose four
+    8×8 blocks are constant-valued (quantized DC = v−128 with q=8: the
+    DCT↔IDCT pair is integer-exact for constant blocks, so the decoded
+    pixels equal the md5-derived block bytes exactly). Decode with the
+    stdlib+numpy baseline decoder (segment walk, Huffman decode, dequant,
+    zigzag, matmul IDCT, level shift) and emit exact channel sums. The
+    DuckDB oracle never parses JPEG: it derives the same four block bytes
+    from the md5 hex and sums 64·v per block — Huffman coding, stuffing,
+    dequant, and the IDCT arithmetic are all pinned bit-for-bit. Payload
+    generation is a pandas UDF (test scaffolding, not the operator)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from polipus_spark.functions.multimodal import (
+        encode_baseline_jpeg, image_stats,
+    )
+
+    @F.pandas_udf(T.BinaryType())
+    def _jpeg(hexes):
+        q = np.full((8, 8), 8, dtype=np.int64)
+        out = []
+        for hx in hexes:
+            raw = bytes.fromhex(hx[:8])  # 4 block bytes
+            blocks = []
+            for v in raw:
+                b = np.zeros((8, 8), dtype=np.int64)
+                b[0, 0] = v - 128
+                blocks.append(b)
+            out.append(encode_baseline_jpeg(16, 16, [(1, 1, 1, 0, blocks)],
+                                            {0: q}))
+        return pd.Series(out)
+
+    d = _docs(spark, sf_dir)
+    hexbody = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("j")))
+    media = d.select("doc_id", _jpeg(hexbody).alias("payload"))
+    return image_stats(media).select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b"
+    )
+
+
 def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decoding + frame sampling (r4): build a real 5-frame
     2×2 C444 YUV4MPEG2 clip per doc (header line, FRAME markers, raw
@@ -1607,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "sketch_quantiles": q_sketch_quantiles,
         "png_decode_stats": q_png_decode_stats,
+        "jpeg_decode_stats": q_jpeg_decode_stats,
         "video_frame_stats": q_video_frame_stats,
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
@@ -3015,6 +3060,23 @@ def oracle_sql() -> dict[str, str]:
              CAST(sum(CASE WHEN lane = 1 THEN recon END) AS BIGINT) AS sum_g,
              CAST(sum(CASE WHEN lane = 2 THEN recon END) AS BIGINT) AS sum_b
       FROM r GROUP BY doc_id
+    """
+    # JPEG decode (r5): the Spark side Huffman-encodes four CONSTANT 8×8
+    # blocks (quantized DC = v−128, q=8 → integer-exact IDCT) into a real
+    # JFIF and decodes it for real; the oracle derives the same four block
+    # bytes from the md5 hex and sums 64·v per block — gray replicates to
+    # all three channels.
+    out["jpeg_decode_stats"] = """
+      WITH b AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || 'j'),
+                                        CAST(j*2+1 AS INT), 2)) AS INT) AS v
+        FROM documents, unnest(range(0, 4)) AS t(j))
+      SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+             CAST(sum(v) * 64 AS BIGINT) AS sum_r,
+             CAST(sum(v) * 64 AS BIGINT) AS sum_g,
+             CAST(sum(v) * 64 AS BIGINT) AS sum_b
+      FROM b GROUP BY doc_id
     """
     # Y4M video decode + frame sampling (r4): raw planar video has no
     # compression, so the oracle re-derives the frame bytes straight from

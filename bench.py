@@ -277,6 +277,8 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         # r4 fourth batch: degree-oriented triangle counting, local
         # clustering coefficients, and gap-fill + LOCF densification
         "graph_triangles", "graph_clustering", "events_gapfill",
+        # r5: baseline JFIF decode — the last multimodal format
+        "jpeg_decode_stats",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

@@ -1017,6 +1017,138 @@ def _rebuild_png_idat(payload, new_idat):
     return bytes(out)
 
 
+def test_decode_jpeg_real():
+    """Baseline JFIF decode (r5): constant-DC blocks roundtrip exactly
+    (q=8 makes the DCT↔IDCT pair integer-exact), random AC coefficients
+    match an independent nested-loop IDCT reference bit-for-bit, 4:2:0
+    chroma upsampling + YCbCr→RGB matches the floor(x+0.5) formula, and
+    restart markers reset the DC predictors."""
+    import numpy as np
+
+    from polipus_spark.functions.multimodal import (
+        decode_image, decode_jpeg, encode_baseline_jpeg,
+    )
+
+    q = np.full((8, 8), 8, dtype=np.int64)
+    vals = [0, 255, 17, 200]
+    blocks = []
+    for v in vals:
+        b = np.zeros((8, 8), dtype=np.int64)
+        b[0, 0] = v - 128
+        blocks.append(b)
+    payload = encode_baseline_jpeg(16, 16, [(1, 1, 1, 0, blocks)], {0: q})
+    img = decode_jpeg(payload)
+    assert img.shape == (16, 16, 1)
+    exp = np.zeros((16, 16), dtype=np.uint8)
+    exp[0:8, 0:8], exp[0:8, 8:16] = vals[0], vals[1]
+    exp[8:16, 0:8], exp[8:16, 8:16] = vals[2], vals[3]
+    assert np.array_equal(img[:, :, 0], exp)
+    # decode_image replicates grayscale to 3 channels
+    assert np.array_equal(decode_image(payload)[:, :, 1], exp)
+
+    # full AC path (run-length, ZRL, magnitude bits) vs an independent
+    # nested-loop IDCT with the same floor(x+0.5) rounding
+    rng = np.random.RandomState(7)
+    coef = rng.randint(-20, 21, size=(8, 8))
+    payload = encode_baseline_jpeg(8, 8, [(1, 1, 1, 0, [coef])], {0: q})
+    got = decode_jpeg(payload)[:, :, 0].astype(np.int64)
+    ref = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = (0.5 ** 0.5) if u == 0 else 1.0
+                    cv = (0.5 ** 0.5) if v == 0 else 1.0
+                    s += (cu * cv / 4 * coef[u, v] * 8
+                          * np.cos((2 * x + 1) * u * np.pi / 16)
+                          * np.cos((2 * y + 1) * v * np.pi / 16))
+            ref[x, y] = s
+    ref = np.clip(np.floor(ref + 128 + 0.5), 0, 255).astype(np.int64)
+    assert np.array_equal(got, ref)
+
+    # 4:2:0 color: constant planes decode to the exact conversion formula
+    yb = []
+    for dc in (10, -10, 50, -50):
+        b = np.zeros((8, 8), dtype=int)
+        b[0, 0] = dc
+        yb.append(b)
+    cb = np.zeros((8, 8), dtype=int)
+    cb[0, 0] = 30
+    cr = np.zeros((8, 8), dtype=int)
+    cr[0, 0] = -20
+    payload = encode_baseline_jpeg(
+        16, 16, [(1, 2, 2, 0, yb), (2, 1, 1, 0, [cb]), (3, 1, 1, 0, [cr])],
+        {0: q})
+    img = decode_jpeg(payload)
+    assert img.shape == (16, 16, 3)
+    yv, cbv, crv = 138.0, 158.0, 108.0
+    expect = (
+        np.clip(np.floor(yv + 1.402 * (crv - 128) + 0.5), 0, 255),
+        np.clip(np.floor(yv - 0.344136 * (cbv - 128)
+                         - 0.714136 * (crv - 128) + 0.5), 0, 255),
+        np.clip(np.floor(yv + 1.772 * (cbv - 128) + 0.5), 0, 255),
+    )
+    assert tuple(img[0, 0]) == expect
+
+    # restart markers: DC predictor resets per segment
+    blocks2 = []
+    for v in (5, 250, 100, 60):
+        b = np.zeros((8, 8), dtype=int)
+        b[0, 0] = v - 128
+        blocks2.append(b)
+    payload = encode_baseline_jpeg(16, 16, [(1, 1, 1, 0, blocks2)], {0: q},
+                                   restart_interval=1)
+    img = decode_jpeg(payload)
+    exp2 = np.zeros((16, 16), dtype=np.uint8)
+    exp2[0:8, 0:8], exp2[0:8, 8:16] = 5, 250
+    exp2[8:16, 0:8], exp2[8:16, 8:16] = 100, 60
+    assert np.array_equal(img[:, :, 0], exp2)
+
+
+def test_decode_jpeg_corrupt_payloads():
+    """Corrupt/unsupported JFIF raises ValueError (never crashes or returns
+    garbage): bad SOI, truncated entropy data, missing SOF/SOS, progressive
+    SOF2, 16-bit DQT, missing restart segment."""
+    import numpy as np
+    import pytest
+
+    from polipus_spark.functions.multimodal import (
+        decode_jpeg, encode_baseline_jpeg,
+    )
+
+    q = np.full((8, 8), 8, dtype=np.int64)
+    b = np.zeros((8, 8), dtype=int)
+    b[0, 0] = 40
+    good = encode_baseline_jpeg(8, 8, [(1, 1, 1, 0, [b])], {0: q})
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x00" + good[2:])
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:2])  # SOI only: no SOF/SOS
+    # truncate inside the entropy-coded data (cut before EOI, keep headers)
+    cut = good.index(b"\xff\xda") + 30
+    with pytest.raises(ValueError):
+        decode_jpeg(good[: min(cut, len(good) - 3)])
+    # progressive SOF2: flip the SOF0 marker byte
+    sof_at = good.index(b"\xff\xc0")
+    prog = good[:sof_at] + b"\xff\xc2" + good[sof_at + 2:]
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # 16-bit quant table: set Pq=1 in DQT
+    dqt_at = good.index(b"\xff\xdb")
+    bad_q = bytearray(good)
+    bad_q[dqt_at + 4] = 0x10
+    with pytest.raises(ValueError, match="quantization"):
+        decode_jpeg(bytes(bad_q))
+    # declared restart interval but no RST markers in the stream
+    dri = encode_baseline_jpeg(16, 16, [(1, 1, 1, 0, [b, b, b, b])], {0: q},
+                               restart_interval=1)
+    first_rst = min(dri.index(bytes([0xFF, 0xD0 + i]))
+                    for i in range(8) if bytes([0xFF, 0xD0 + i]) in dri)
+    with pytest.raises(ValueError):
+        decode_jpeg(dri[:first_rst] + dri[first_rst:].replace(b"\xff\xd0", b"", 1))
+
+
 def test_decode_wav_real():
     """r4: 16-bit PCM WAV decodes for REAL — RIFF chunk walk (unknown
     chunks skipped, word alignment), little-endian int16 view, channel
