@@ -8,11 +8,17 @@ first so expensive stages see the fewest rows:
   2. repetition gate     (map-only Column filter)
   3. language mixing     (map-only deterministic sample)
   4. decontamination     (broadcast semi-join vs the benchmark)
-  5. fuzzy dedup         (exact → LSH → Jaccard → components)
-  6. span dedup          (optional: corpus-wide repeated-window removal)
+  5. store probe         (optional: near-dups of a PERSISTED minhash
+                          store die — a re-run curates only the new batch)
+  6. fuzzy dedup         (exact → LSH → Jaccard → components)
+  7. semantic dedup      (optional: SemDeDup within-cluster cosine over an
+                          embeddings table, min-id survivor)
+  8. span dedup          (optional: corpus-wide repeated-window removal)
 
 Every stage is lazy; ``curation_report`` materializes the per-stage
 survivor counts as ONE DataFrame (one job), not a driver loop of counts.
+``scripts/curate_corpus.py`` drives the whole thing (plus chunking and
+sequence packing downstream) from spark-submit flags.
 """
 
 from __future__ import annotations
@@ -41,6 +47,12 @@ def curate_corpus(
     decontam_ngram: int = 8,
     jaccard_pct: int = 70,
     span_dedup_words: int | None = None,
+    minhash_store_dir: str | None = None,
+    store_min_matches: int = 12,
+    embeddings: DataFrame | None = None,
+    semantic_threshold: float | None = None,
+    emb_id_col: str = "vec_id",
+    emb_vec_col: str = "embedding",
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
@@ -49,7 +61,19 @@ def curate_corpus(
     ``stages`` maps stage name → the surviving DataFrame AFTER that stage
     (insertion order = pipeline order), for reporting and debugging.
     Stages whose knob is off are skipped (and absent from ``stages``).
-    """
+
+    ``minhash_store_dir`` enables the incremental probe: docs whose banded
+    minhash signature collides with the persisted store and agrees on
+    ≥ ``store_min_matches`` of 16 positions die before the in-batch dedup
+    — the re-ingest path (the store streams map-side, the batch broadcasts;
+    nothing store-sized shuffles). The pipeline never WRITES the store
+    (stages are lazy); append survivors afterwards with
+    ``dedup.build_minhash_store(curated, store_dir, mode="append")``.
+
+    ``embeddings`` + ``semantic_threshold`` enable SemDeDup: within-cluster
+    cosine pairs above the threshold (``similarity.semantic_dedup_pairs``,
+    auto-K with hot-cluster LSH fallback) drop the larger id. Docs with no
+    embedding row are kept — absence of evidence is not a near-dup."""
     t = F.col(text_col)
     stages: dict[str, DataFrame] = {"input": docs}
     d = docs
@@ -69,9 +93,39 @@ def curate_corpus(
         d = decontaminate(d, benchmark, n=decontam_ngram,
                           id_col=id_col, text_col=text_col)
         stages["decontaminated"] = d
+    if minhash_store_dir is not None:
+        from polipus_spark.functions.dedup import incremental_dedup_pairs
+
+        hits = (
+            incremental_dedup_pairs(
+                docs.sparkSession, d, minhash_store_dir,
+                min_matches=store_min_matches,
+                id_col=id_col, text_col=text_col,
+            )
+            .select(F.col("new_id").alias(id_col)).distinct()
+        )
+        d = d.join(hits, id_col, "left_anti")
+        stages["store_deduped"] = d
     d = fuzzy_dedup(d, id_col=id_col, text_col=text_col,
                     jaccard_pct=jaccard_pct)
     stages["deduped"] = d
+    if embeddings is not None and semantic_threshold is not None:
+        from polipus_spark.functions.similarity import semantic_dedup_pairs
+
+        # restrict the embedding table to the current survivors so cluster
+        # sizes (and the auto-K derivation) track the live corpus, then
+        # drop each pair's larger id — the same survivor policy as the
+        # in-batch LSH stage
+        live = embeddings.join(
+            d.select(F.col(id_col).alias(emb_id_col)).distinct(), emb_id_col
+        )
+        pairs = semantic_dedup_pairs(
+            live, threshold=semantic_threshold, n_centroids=None,
+            id_col=emb_id_col, vec_col=emb_vec_col,
+        )
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        d = d.join(losers, id_col, "left_anti")
+        stages["semantic_deduped"] = d
     if span_dedup_words:
         from polipus_spark.functions.dedup import dedup_spans
 

@@ -7,12 +7,17 @@
         scripts/curate_corpus.py \\
         --docs /path/to/documents --out /path/to/curated \\
         [--benchmark /path/to/eval_set] \\
+        [--store /path/to/minhash_store [--update-store]] \\
+        [--embeddings /path/to/embeddings --semantic-threshold 0.9] \\
         [--lang-rates en=2500,de=7500] [--chunk 64 --pack-budget 256]
 
-Runs quality → repetition → language mixing → decontamination → fuzzy
-dedup (pipeline.curate_corpus), prints the per-stage survivor report,
-writes the curated docs, and optionally chunks + packs them into training
-sequences. Deterministic end to end — re-running on the same input
+Runs quality → repetition → language mixing → decontamination →
+persisted-store probe → fuzzy dedup → semantic dedup
+(pipeline.curate_corpus), prints the per-stage survivor report (chunk and
+packing stages included when enabled), writes the curated docs, optionally
+chunks + packs them into training sequences, and with --update-store
+appends the survivors' minhash signatures so the NEXT run only pays for
+its new batch. Deterministic end to end — re-running on the same input
 produces byte-identical output at any parallelism.
 """
 
@@ -43,6 +48,16 @@ def main() -> None:
     p.add_argument("--jaccard-pct", type=int, default=70)
     p.add_argument("--span-dedup-words", type=int, default=None,
                    help="also remove cross-doc repeated N-word spans")
+    p.add_argument("--store", default=None,
+                   help="persisted minhash store: near-dups of it die "
+                        "(incremental re-ingest path)")
+    p.add_argument("--store-min-matches", type=int, default=12)
+    p.add_argument("--update-store", action="store_true",
+                   help="append the survivors' signatures to --store")
+    p.add_argument("--embeddings", default=None,
+                   help="parquet path of (vec_id, embedding) for SemDeDup")
+    p.add_argument("--semantic-threshold", type=float, default=None,
+                   help="cosine threshold for the semantic dedup stage")
     p.add_argument("--chunk", type=int, default=None, help="also chunk survivors into N-word windows")
     p.add_argument("--chunk-overlap", type=int, default=8)
     p.add_argument("--pack-budget", type=int, default=None, help="pack chunks into sequences of this many words")
@@ -56,6 +71,7 @@ def main() -> None:
     docs = spark.read.parquet(args.docs)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
 
+    emb = spark.read.parquet(args.embeddings) if args.embeddings else None
     curated, stages = curate_corpus(
         docs, bench,
         quality=not args.no_quality,
@@ -64,12 +80,13 @@ def main() -> None:
         default_bps=args.default_bps,
         jaccard_pct=args.jaccard_pct,
         span_dedup_words=args.span_dedup_words,
+        minhash_store_dir=args.store,
+        store_min_matches=args.store_min_matches,
+        embeddings=emb,
+        semantic_threshold=args.semantic_threshold,
     )
     curated = curated.persist()
     curated.write.mode("overwrite").parquet(f"{args.out}/curated")
-
-    for r in curation_report(stages).orderBy("stage_order").collect():
-        print(f"{r['stage_order']:>2} {r['stage']:<16} {r['n_docs']:>12,}")
 
     if args.chunk:
         from polipus_spark.functions.text import chunk_docs
@@ -77,6 +94,7 @@ def main() -> None:
         chunks = chunk_docs(curated, chunk=args.chunk,
                             overlap=args.chunk_overlap).persist()
         chunks.write.mode("overwrite").parquet(f"{args.out}/chunks")
+        stages["chunks"] = chunks
         if args.pack_budget:
             from polipus_spark.functions.packing import (
                 pack_sequences, packing_efficiency,
@@ -84,9 +102,20 @@ def main() -> None:
 
             packed = pack_sequences(chunks, budget=args.pack_budget)
             packed.write.mode("overwrite").parquet(f"{args.out}/packed")
+            stages["packed_chunks"] = packed
             eff = packing_efficiency(packed, budget=args.pack_budget).collect()[0]
             print(f"packed: {eff['n_sequences']:,} sequences, "
                   f"{eff['total_words']:,} words, fill {eff['fill_pct']}%")
+
+    # one job for the whole per-stage ledger (chunk/pack rows included)
+    for r in curation_report(stages).orderBy("stage_order").collect():
+        print(f"{r['stage_order']:>2} {r['stage']:<16} {r['n_docs']:>12,}")
+
+    if args.update_store and args.store:
+        from polipus_spark.functions.dedup import build_minhash_store
+
+        build_minhash_store(curated, args.store, mode="append")
+        print(f"store updated: +{curated.count():,} signatures")
 
     spark.stop()
 

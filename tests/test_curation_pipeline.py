@@ -77,6 +77,101 @@ def test_corpus_to_training_sequences_e2e(spark):
     assert eff["fill_pct"] >= 50
 
 
+def test_curate_with_store_probe_stage(spark, tmp_path):
+    """Optional stage 5 (r5): a doc that near-matches the PERSISTED minhash
+    store dies before in-batch dedup; novel docs survive; the store itself
+    is never modified by the pipeline (lazy stages, no writes)."""
+    from polipus_spark.functions.dedup import build_minhash_store
+    from polipus_spark.pipeline import curate_corpus
+
+    store = str(tmp_path / "store")
+    prior = spark.createDataFrame([(100, GOOD)], "doc_id bigint, text string")
+    build_minhash_store(prior, store)
+
+    near_good = GOOD.replace("river", "ocean")  # near-dup of the stored doc
+    docs = spark.createDataFrame(
+        [(1, near_good), (2, NEAR_A)], "doc_id bigint, text string")
+    final, stages = curate_corpus(docs, None, minhash_store_dir=store)
+    assert "store_deduped" in stages
+    assert sorted(r["doc_id"] for r in final.collect()) == [2]
+    assert stages["store_deduped"].count() == 1  # the kill was THIS stage
+    # the store was only read
+    assert spark.read.parquet(store).count() == 1
+
+
+def test_curate_with_semantic_dedup_stage(spark):
+    """Optional stage 7 (r5): two docs whose embeddings are near-identical
+    collapse to the smaller id; a doc with no embedding row is kept."""
+    from polipus_spark.pipeline import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, NEAR_A.replace("quick", "clever")), (3, LEAKY)],
+        "doc_id bigint, text string",
+    )
+    base = [1.0] + [0.0] * 63
+    near = [0.999] + [0.0447] + [0.0] * 62  # cosine ≈ 0.999 with base
+    ortho = [0.0, 0.0, 1.0] + [0.0] * 61
+    emb = spark.createDataFrame(
+        [(1, base), (2, near)],  # doc 3 has NO embedding row
+        "vec_id bigint, embedding array<double>",
+    )
+    final, stages = curate_corpus(
+        docs, None, embeddings=emb, semantic_threshold=0.9)
+    assert "semantic_deduped" in stages
+    ids = sorted(r["doc_id"] for r in final.collect())
+    assert ids == [1, 3]  # 2 is the pair's larger id; 3 kept (no embedding)
+    # the kill happened in the semantic stage, not earlier
+    assert stages["deduped"].count() == 3
+    del ortho  # documents the kept-if-orthogonal contrast
+
+
+def test_curate_full_composition_to_packed_sequences(spark, tmp_path):
+    """r4 verdict #3 E2E: crawl-shaped corpus → every optional stage on
+    (store probe, fuzzy, semantic, span) → chunk → pack. The report covers
+    all stages in order and the packed output covers every chunk once."""
+    from polipus_spark.functions.dedup import build_minhash_store
+    from polipus_spark.functions.packing import pack_sequences
+    from polipus_spark.functions.text import chunk_docs
+    from polipus_spark.pipeline import curate_corpus, curation_report
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(60)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    store = str(tmp_path / "store")
+    # the store already holds docs 0-9's CONTENT under prior-corpus ids
+    # (id-shifted: the probe excludes same-id self-matches by design, and a
+    # real re-ingest arrives with fresh ids): a re-ingest must drop them
+    build_minhash_store(
+        docs.where(F.col("doc_id") < 10)
+        .withColumn("doc_id", F.col("doc_id") + 1000), store)
+
+    curated, stages = curate_corpus(
+        docs, None,
+        minhash_store_dir=store, store_min_matches=16,
+        embeddings=emb, semantic_threshold=0.95,
+    )
+    order = [r["stage"] for r in
+             curation_report(stages).orderBy("stage_order").collect()]
+    assert order == ["input", "quality", "repetition", "store_deduped",
+                     "deduped", "semantic_deduped"]
+    # every stored doc still alive after the text gates dies at the store
+    # probe (its signature matches itself on all 16 positions), and ONLY
+    # there — the kill set is exactly the re-ingested survivors
+    alive_before = {r["doc_id"] for r in stages["repetition"].collect()
+                    if r["doc_id"] < 10}
+    alive_after = {r["doc_id"] for r in stages["store_deduped"].collect()}
+    assert alive_before and alive_before.isdisjoint(alive_after)
+    n = {r["stage"]: r["n_docs"]
+         for r in curation_report(stages).collect()}
+    # ≥: a doc_id ≥ 10 whose text exactly duplicates a stored doc dies too
+    assert n["store_deduped"] <= n["repetition"] - len(alive_before)
+    assert 0 < n["semantic_deduped"] <= n["deduped"]
+
+    chunks = chunk_docs(curated, chunk=32, overlap=4)
+    packed = pack_sequences(chunks, budget=128, n_bins=4)
+    assert packed.count() == chunks.count() > 0
+
+
 def test_curate_with_span_dedup_stage(spark):
     """Optional stage 6: a repeated 10-word span across the two survivors
     is stripped from both; their unique tails remain."""
