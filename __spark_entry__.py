@@ -853,16 +853,21 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql(n_iter: int = 3, scale: int = 10**12,
-                  dnum: int = 85, dden: int = 100) -> str:
-    """Unrolled oracle for graph_pagerank: replay operators/graph.pagerank
-    — distinct edges, node set, out-degrees, then n_iter rounds of
-    floor(rank/deg) contributions, dangling-mass scalar, and the
-    teleport+damped update, all in the same scaled-integer space."""
+                  dnum: int = 85, dden: int = 100,
+                  edges_sql: str | None = None) -> str:
+    """Unrolled oracle for graph_pagerank / crawl_pagerank: replay
+    operators/graph.pagerank — distinct edges, node set, out-degrees, then
+    n_iter rounds of floor(rank/deg) contributions, dangling-mass scalar,
+    and the teleport+damped update, all in the same scaled-integer space.
+    ``edges_sql`` overrides the edge-list clause (default: the synthetic
+    event graph); node ids may be any comparable type."""
+    if edges_sql is None:
+        edges_sql = ("SELECT DISTINCT user_id AS src,"
+                     " CAST(event_id % 97 AS BIGINT) AS dst"
+                     " FROM events WHERE user_id <> event_id % 97")
     pre = (scale * (dden - dnum)) // dden
     parts = [f"""
-      WITH edges AS (
-        SELECT DISTINCT user_id AS src, CAST(event_id % 97 AS BIGINT) AS dst
-        FROM events WHERE user_id <> event_id % 97),
+      WITH edges AS (SELECT DISTINCT src, dst FROM ({edges_sql})),
       nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
       deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
       nn AS (SELECT count(*) AS n FROM nodes),
@@ -1679,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle = the sequential reference-semantics simulator's page set,
         # materialized as a VALUES list (deterministic corpus + options)
         "crawl_e2e_pages": q_crawl_e2e_pages,
+        "crawl_pagerank": q_crawl_pagerank,
         "media_decode_stats": q_media_decode_stats,
         "dedup_lines": q_dedup_lines,
         "pack_efficiency": q_pack_efficiency,
@@ -1723,6 +1729,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _entry_crawl_session(spark: SparkSession):
+    """Run (once per session) the entry's canonical crawl and cache the
+    crawler handle — crawl_e2e_pages and crawl_pagerank share it, so the
+    driver pays the wave loop once per process, not per entry."""
+    import tempfile
+
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.plans.crawler import PolipusCrawler
+    from polipus_spark.sources.corpus import corpus_df, gen_corpus
+
+    key = ("entry_crawl", id(spark))
+    if key not in _IVF_INDEX_CACHE:
+        docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+        opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5)
+        crawler = PolipusCrawler(
+            spark, corpus_df(spark, docs), opts,
+            tempfile.mkdtemp(prefix="polipus_entry_"))
+        crawler.takeover(["http://host0.example.com/",
+                          "http://host1.example.com/"])
+        _IVF_INDEX_CACHE[key] = crawler
+    return _IVF_INDEX_CACHE[key]
+
+
 def q_crawl_e2e_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full wave-loop crawl session vs the simulator's VALUES oracle.
 
@@ -1731,21 +1760,36 @@ def q_crawl_e2e_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     deep configurations (depth 2+, redirects chains, TTL, robots variants)
     are pinned by tests/test_crawler_e2e.py. r2's 323 s entry starved the
     driver's correctness budget and truncated the ledger (VERDICT r2 #1)."""
-    import tempfile
-
-    from polipus_spark.config import CrawlOptions
-    from polipus_spark.plans.crawler import PolipusCrawler
-    from polipus_spark.sources.corpus import corpus_df, gen_corpus
-
-    docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
-    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5)
-    crawler = PolipusCrawler(
-        spark, corpus_df(spark, docs), opts, tempfile.mkdtemp(prefix="polipus_entry_")
-    )
-    crawler.takeover(["http://host0.example.com/", "http://host1.example.com/"])
-    return crawler.pages_df().select(
+    return _entry_crawl_session(spark).pages_df().select(
         "uuid", "url", "referer", "depth", "code", "fetched", "error", "wave"
     )
+
+
+def q_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the crawl's OWN link graph (r4 verdict #5) — "which
+    URLs matter", the query a crawl engine exists to answer. Composes the
+    entry crawl's stored pages → X2 link extraction from the stored spans
+    (links.extract_links, the same operator the wave loop runs) → dst uuid
+    = X4 md5 of the canonical link → operators/graph.pagerank, 3 rounds of
+    scaled-integer join+agg. The oracle replays the simulator's
+    _extract_links over the same stored pages into a VALUES edge list and
+    unrolls the identical integer rounds (_pagerank_sql) — link semantics
+    AND the fixpoint arithmetic hash-checked together. Links may point at
+    un-crawled URLs (depth-gated or robots-blocked targets): those are
+    real nodes of the web graph — dangling, so their mass redistributes."""
+    from polipus_spark.functions.links import extract_links
+    from polipus_spark.functions.urls import url_uuid
+    from polipus_spark.operators.graph import pagerank
+
+    pages = _entry_crawl_session(spark).pages_df()
+    links = extract_links(pages, url_col="url", spans_col="spans")
+    src = pages.select("url", F.col("uuid").alias("src"))
+    edges = (
+        links.join(src, "url")
+        .select("src", url_uuid(F.col("link")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    return pagerank(edges, n_iter=3)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1841,6 +1885,41 @@ def _crawl_e2e_oracle_sql() -> str:
             {rows}
           ) AS t(uuid, url, referer, depth, code, fetched, error, wave)
         """
+
+
+def _crawl_pagerank_oracle_sql() -> str:
+    """Oracle for crawl_pagerank: run the reference-semantics simulator
+    over the same corpus/options as the entry crawl, replay its
+    _extract_links (X2/F9/F10/J9 semantics) over every STORED page's spans
+    — exactly the rows the Spark side reads back from the page store —
+    derive dst uuids with uuid_py (X4), and unroll the same scaled-integer
+    PageRank rounds over the resulting VALUES edge list."""
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.simulator import CrawlSimulator, uuid_py
+    from polipus_spark.sources.corpus import gen_corpus
+
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5)
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(["http://host0.example.com/", "http://host1.example.com/"])
+
+    edges = set()
+    for p in sim.pages.values():
+        doc = sim.corpus.get(p.url)
+        spans = doc.get("spans") if doc else None
+        if not spans:
+            continue
+        for link in sim._extract_links(p.url, spans):
+            dst = uuid_py(link, opts.include_query_string_in_uuid)
+            if dst != p.uuid:
+                edges.add((p.uuid, dst))
+    rows = ",\n        ".join(
+        f"('{s}', '{d}')" for s, d in sorted(edges)
+    )
+    edges_sql = (f"SELECT CAST(src AS VARCHAR) AS src,"
+                 f" CAST(dst AS VARCHAR) AS dst"
+                 f" FROM (VALUES\n        {rows}\n      ) AS t(src, dst)")
+    return _pagerank_sql(n_iter=3, edges_sql=edges_sql)
 
 
 def _kmeans_assign_sql(n_iter: int = 3, k: int = 8) -> str:
@@ -3029,6 +3108,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d LEFT JOIN rebuilt r USING (doc_id)
         """,
         "crawl_e2e_pages": _crawl_e2e_oracle_sql(),
+        "crawl_pagerank": _crawl_pagerank_oracle_sql(),
     }
     # the persisted DPP-pruned index path must return IDENTICAL results to
     # the in-memory IVF search — one oracle serves both entries; likewise
