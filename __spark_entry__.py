@@ -1726,7 +1726,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
     }
-    return q
+    # r5 rotation (r4 VERDICT #6, "keep the ledger rotation honest"):
+    # priority 0 = no r4 driver row (29 entries + the two new r5 ones),
+    # priority 1 = r4-green but its implementing module changed in r5
+    # (similarity/dedup/sketches/multimodal/crawler/catalog edits, the
+    # fixture refactor, the kmv fix), priority 2 = r4-green untouched
+    # tail. Stable sort keeps each band's internal order.
+    r4_rows = frozenset({
+        "audio_stats", "crawl_e2e_pages", "dedup_embedding_cosine",
+        "dedup_embedding_lsh", "dedup_incremental", "dedup_lines",
+        "dedup_semantic", "events_asof_join", "events_gapfill",
+        "events_range_join", "events_rollup_agg", "events_sessionize",
+        "f13_code_classes", "f1_policy_chain", "f2_robots_gate",
+        "graph_clustering", "graph_pagerank", "graph_triangles",
+        "j4_exact_tracker", "j8_unique_first", "media_decode_stats",
+        "media_metadata", "o1_frontier_pop", "o3_hot_window",
+        "o4_capped_drop_oldest", "pack_efficiency", "pack_sequences",
+        "png_decode_stats", "sim_ann_recall", "sim_ivf_assign",
+        "sim_ivf_kmeans", "sim_ivf_topk", "sim_ivf_topk_indexed",
+        "sim_ivf_topk_quantized", "sim_ivfpq_topk", "sim_pq_topk",
+        "sim_quantize_int8", "sketch_distinct_hll", "sketch_distinct_kmv",
+        "sketch_heavy_hitters", "sketch_quantiles", "text_bm25_topk",
+        "text_bpe_merges", "tpch_q14_style", "tpch_q1_style",
+        "tpch_q3_style", "tpch_q5_style", "video_frame_stats",
+        "x1_canon_cols", "x4_uuid",
+    })
+    changed_prefixes = ("sim_", "dedup_", "sketch_", "media_", "png_",
+                        "jpeg_", "video_", "crawl_")
+    changed_names = {"audio_stats", "events_rollup_agg"}
+
+    def _prio(name: str) -> int:
+        if name not in r4_rows:
+            return 0
+        if name.startswith(changed_prefixes) or name in changed_names:
+            return 1
+        return 2
+
+    return dict(sorted(q.items(), key=lambda kv: _prio(kv[0])))
 
 
 def _entry_crawl_session(spark: SparkSession):

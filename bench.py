@@ -289,6 +289,18 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         qs[name](spark, SF_DIR).count()
         out[name] = round(time.time() - t0, 3)
         _log(f"query {name}: {out[name]}s")
+        if name == "dedup_semantic":
+            # hot/cold-split cost telemetry (r4 verdict #8): K, clusters
+            # routed to the LSH fallback, and exact- vs LSH-path pair
+            # counts — the split is THE knob behind this query's time.
+            try:
+                from polipus_spark.functions.similarity import (
+                    semantic_dedup_report,
+                )
+
+                _log(f"dedup_semantic split: {semantic_dedup_report()}")
+            except Exception as exc:  # noqa: BLE001 — telemetry only
+                _log(f"dedup_semantic split unavailable: {type(exc).__name__}")
     return out
 
 

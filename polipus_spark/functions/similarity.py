@@ -406,7 +406,46 @@ def semantic_dedup_pairs(
         .where(cosine(F.col("_va"), F.col("_vb")) > threshold)
         .select("id_a", "id_b", "centroid_id")
     )
+    # cost telemetry for the hot/cold split (r4 VERDICT #8): stash the
+    # lazy ingredients so semantic_dedup_report can price this exact run
+    # without re-deriving the routing. No action happens here — reading
+    # the report is one extra (tiny: K-row + pair-count) job, on demand.
+    global _LAST_SEMANTIC_RUN
+    _LAST_SEMANTIC_RUN = {
+        "n_centroids": n_centroids,
+        "hot_cluster_cap": hot_cluster_cap,
+        "sizes": sizes,
+        "cold_pairs": pairs,
+        "hot_pairs": hot_pairs,
+    }
     return pairs.unionByName(hot_pairs)
+
+
+_LAST_SEMANTIC_RUN: dict | None = None
+
+
+def semantic_dedup_report() -> dict:
+    """One-line cost telemetry for the MOST RECENT
+    :func:`semantic_dedup_pairs` plan built in this process: K, hot-cluster
+    count (clusters routed to the LSH fallback), and the pair counts from
+    the exact vs LSH paths — the numbers that diagnose a hot/cold-split
+    regression from a bench log (r4 verdict #8: the +2.16 s sf0.1
+    regression was this split paying for scale safety; make that visible,
+    not inferred). Runs two small jobs (a K-row aggregate and the two pair
+    counts); call it AFTER the main result is consumed so the work is warm.
+    """
+    if _LAST_SEMANTIC_RUN is None:
+        raise RuntimeError("no semantic_dedup_pairs run in this process")
+    r = _LAST_SEMANTIC_RUN
+    hot_n = r["sizes"].where(
+        F.col("_csz") > r["hot_cluster_cap"]).count()
+    return {
+        "n_centroids": r["n_centroids"],
+        "hot_cluster_cap": r["hot_cluster_cap"],
+        "hot_clusters": hot_n,
+        "exact_pairs": r["cold_pairs"].count(),
+        "lsh_pairs": r["hot_pairs"].count(),
+    }
 
 
 def hyperplane_components(band: int, bit: int, dim: int) -> list[float]:

@@ -1336,6 +1336,41 @@ def test_semantic_dedup_hot_cluster_fallback(spark):
     }
 
 
+def test_semantic_dedup_report_telemetry(spark):
+    """r4 VERDICT #8: after a semantic_dedup_pairs run, the report exposes
+    (K, hot-cluster count, exact vs LSH pair counts) — the split behind the
+    query's cost. All-hot (K=1, tiny cap) ⇒ every pair is LSH-path; a
+    roomy cap ⇒ every pair is exact-path."""
+    import numpy as np
+    import pytest
+
+    from polipus_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 64)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + 0.01 * rng.randn(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    all_pairs = sim.semantic_dedup_pairs(
+        emb, threshold=0.9, n_centroids=1, hot_cluster_cap=10).count()
+    rep = sim.semantic_dedup_report()
+    assert rep["n_centroids"] == 1 and rep["hot_clusters"] == 1
+    assert rep["exact_pairs"] == 0 and rep["lsh_pairs"] == all_pairs > 0
+
+    cold_pairs = sim.semantic_dedup_pairs(
+        emb, threshold=0.9, n_centroids=1, hot_cluster_cap=1000).count()
+    rep = sim.semantic_dedup_report()
+    assert rep["hot_clusters"] == 0 and rep["lsh_pairs"] == 0
+    assert rep["exact_pairs"] == cold_pairs > 0
+
+    sim._LAST_SEMANTIC_RUN = None
+    with pytest.raises(RuntimeError, match="no semantic_dedup_pairs"):
+        sim.semantic_dedup_report()
+
+
 def test_near_dup_pairs_conflicting_flags_raise(spark):
     from polipus_spark.functions.similarity import near_dup_pairs
 
