@@ -156,6 +156,16 @@ def main() -> None:
         "keyed window for the ignorenulls running last(). Grid size is "
         "the user's plotting contract (|K|·range/step), independent of "
         "raw event count.",
+        "jpeg_decode_stats": "baseline JFIF decode (r5): ONE "
+        "ArrowEvalPython/mapInPandas node per batch does encode (test "
+        "scaffolding) and decode+stats — no per-row Python, no shuffle at "
+        "all; the media path is embarrassingly parallel map work, which "
+        "is exactly what a 100 TB image corpus needs.",
+        "crawl_pagerank": "PageRank over the crawl's own link graph (r5): "
+        "link extraction is a posexplode+groupBy on the stored spans; "
+        "each rank round is a pair of hash equi-joins plus a narrow "
+        "node-key agg with localCheckpoint between rounds (the plan stays "
+        "shallow across iterations — no lineage blowup).",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
