@@ -1685,6 +1685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # materialized as a VALUES list (deterministic corpus + options)
         "crawl_e2e_pages": q_crawl_e2e_pages,
         "crawl_pagerank": q_crawl_pagerank,
+        "crawl_hostgraph": q_crawl_hostgraph,
+        "crawl_prioritize": q_crawl_prioritize,
         "media_decode_stats": q_media_decode_stats,
         "dedup_lines": q_dedup_lines,
         "pack_efficiency": q_pack_efficiency,
@@ -1828,6 +1830,84 @@ def q_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=3)
 
 
+def q_crawl_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level web graph from the crawl's stored pages (r5): explode
+    every stored page's links WITHOUT the F10 in-domain gate (a host graph
+    exists to show the cross-host edges the crawl policy pruned), roll up
+    to (src_host, dst_host) with link counts and distinct source pages.
+    The classic "which sites point where" aggregation over a crawl corpus
+    (host-level web graphs à la common web-graph datasets). Spark shape:
+    the X2 extraction is Catalyst regexp + one Arrow canonicalize hop;
+    the rollup is a single partial-agg groupBy — at 100 TB this is a scan
+    plus one shuffle on (src_host, dst_host). Oracle: Python replay of the
+    same span parse (minus the host gate) into VALUES of raw (src_url,
+    link) pairs; DuckDB then re-derives BOTH hosts with its own regexp
+    engine, so Spark's HOST_RE semantics are cross-checked, not replayed."""
+    from polipus_spark.functions.links import extract_links
+    from polipus_spark.functions.urls import url_host
+
+    pages = _entry_crawl_session(spark).pages_df()
+    links = extract_links(pages, url_col="url", spans_col="spans",
+                          in_domain=False)
+    return (
+        links.select(
+            url_host(F.col("url")).alias("src_host"),
+            url_host(F.col("link")).alias("dst_host"),
+            F.col("url").alias("_src"),
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("_src").alias("n_src_pages"),
+        )
+    )
+
+
+def q_crawl_prioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-prioritized recrawl scheduling (r5): compose the crawl's
+    own link-graph PageRank (crawl_pagerank's exact edge derivation) back
+    into an A6-style per-host politeness window — rank every stored page
+    within its host by importance (rank_scaled DESC, uuid tiebreak) and
+    keep the top 2 slots per host: "which URLs to refresh first", the
+    importance-driven scheduler variant of the reference's FIFO pop
+    (OPIC-style prioritization; the reference's queue is FIFO-only, this
+    is the beyond-§2 upgrade path). Plan shape: pagerank's join+agg
+    rounds, then one broadcast-size join (ranks are |nodes| rows) and one
+    window over host partitions — the same salted-window machinery O1
+    uses scales it when hosts are hot. Oracle: the unrolled integer
+    PageRank CTE chain shared with crawl_pagerank, LEFT JOINed to the
+    simulator's stored-page VALUES, re-ranked by DuckDB's own
+    row_number()."""
+    from polipus_spark.functions.links import extract_links
+    from polipus_spark.functions.urls import url_host, url_uuid
+    from polipus_spark.operators.graph import pagerank
+
+    pages = _entry_crawl_session(spark).pages_df()
+    links = extract_links(pages, url_col="url", spans_col="spans")
+    src = pages.select("url", F.col("uuid").alias("src"))
+    edges = (
+        links.join(src, "url")
+        .select("src", url_uuid(F.col("link")).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+    )
+    ranks = pagerank(edges, n_iter=3).withColumnRenamed("node", "uuid")
+    scored = (
+        pages.select("uuid", "url", url_host(F.col("url")).alias("host"))
+        .join(ranks, "uuid", "left")
+        .withColumn(
+            "rank_scaled",
+            F.coalesce(F.col("rank_scaled"), F.lit(0)).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("rank_scaled"), F.col("uuid"))
+    return (
+        scored.withColumn("slot", F.row_number().over(w).cast("bigint"))
+        .where(F.col("slot") <= 2)
+        .select("host", "slot", "uuid", "url", "rank_scaled")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: crawl session over the synthetic corpus (sf-independent)."""
     return q_crawl_e2e_pages(spark, "/root/testdata/sf0.001")
@@ -1956,6 +2036,124 @@ def _crawl_pagerank_oracle_sql() -> str:
                  f" CAST(dst AS VARCHAR) AS dst"
                  f" FROM (VALUES\n        {rows}\n      ) AS t(src, dst)")
     return _pagerank_sql(n_iter=3, edges_sql=edges_sql)
+
+
+_HOST_RE_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def _crawl_hostgraph_oracle_sql() -> str:
+    """Oracle for crawl_hostgraph: replay the simulator's span parse
+    (X2/F9/J9 — span order, text spans only, <base href>, _canon_one,
+    first-occurrence dedup) WITHOUT the F10 host gate, emit the raw
+    (src_url, link) pairs as VALUES, and let DuckDB's OWN regexp engine
+    derive both hosts before the rollup — Spark's HOST_RE extraction is
+    cross-checked against an independent implementation, not replayed."""
+    import re as _re
+
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.functions.links import BASE_RE, HREF_RE
+    from polipus_spark.functions.urls import _canon_one
+    from polipus_spark.simulator import CrawlSimulator
+    from polipus_spark.sources.corpus import gen_corpus
+
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5)
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(["http://host0.example.com/", "http://host1.example.com/"])
+
+    pairs = set()
+    for p in sim.pages.values():
+        doc = sim.corpus.get(p.url)
+        spans = doc.get("spans") if doc else None
+        if not spans:
+            continue
+        ordered = sorted(spans, key=lambda s: s["offset"])
+        texts = [s["text"] for s in ordered if s["kind"] == "text"]
+        m = _re.search(BASE_RE, "\n".join(texts))
+        base = m.group(1) if m else p.url
+        for t in texts:
+            for raw in _re.findall(HREF_RE, t):
+                link = _canon_one(raw, base)
+                if link is not None:
+                    pairs.add((p.url, link))
+    rows = ",\n        ".join(
+        "('{}', '{}')".format(s.replace("'", "''"), d.replace("'", "''"))
+        for s, d in sorted(pairs)
+    )
+    return f"""
+      WITH raw AS (
+        SELECT CAST(src_url AS VARCHAR) AS src_url,
+               CAST(link AS VARCHAR) AS link
+        FROM (VALUES
+        {rows}
+        ) AS t(src_url, link)),
+      h AS (
+        SELECT lower(regexp_extract(src_url, '{_HOST_RE_SQL}', 1)) AS src_host,
+               lower(regexp_extract(link, '{_HOST_RE_SQL}', 1)) AS dst_host,
+               src_url
+        FROM raw)
+      SELECT src_host, dst_host,
+             CAST(count(*) AS BIGINT) AS n_links,
+             CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages
+      FROM h GROUP BY src_host, dst_host
+    """
+
+
+def _crawl_prioritize_oracle_sql() -> str:
+    """Oracle for crawl_prioritize: the same unrolled integer PageRank CTE
+    chain as crawl_pagerank (same simulator edge list), prefixed with a
+    stored-pages VALUES CTE and finished with DuckDB's own row_number()
+    window over hosts (rank DESC, uuid tiebreak), top 2 slots per host."""
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.simulator import CrawlSimulator, uuid_py
+    from polipus_spark.sources.corpus import gen_corpus
+
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5)
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(["http://host0.example.com/", "http://host1.example.com/"])
+
+    edges = set()
+    for p in sim.pages.values():
+        doc = sim.corpus.get(p.url)
+        spans = doc.get("spans") if doc else None
+        if not spans:
+            continue
+        for link in sim._extract_links(p.url, spans):
+            dst = uuid_py(link, opts.include_query_string_in_uuid)
+            if dst != p.uuid:
+                edges.add((p.uuid, dst))
+    erows = ",\n        ".join(f"('{s}', '{d}')" for s, d in sorted(edges))
+    edges_sql = (f"SELECT CAST(src AS VARCHAR) AS src,"
+                 f" CAST(dst AS VARCHAR) AS dst"
+                 f" FROM (VALUES\n        {erows}\n      ) AS t(src, dst)")
+    base = _pagerank_sql(n_iter=3, edges_sql=edges_sql)
+
+    prows = ",\n        ".join(
+        "('{}', '{}')".format(p.uuid, p.url.replace("'", "''"))
+        for p in sorted(sim.pages.values(), key=lambda p: p.uuid)
+    )
+    pages_cte = (
+        "WITH pages AS (\n"
+        "        SELECT CAST(uuid AS VARCHAR) AS uuid,"
+        " CAST(url AS VARCHAR) AS url\n"
+        f"        FROM (VALUES\n        {prows}\n"
+        "        ) AS t(uuid, url)),\n      edges AS"
+    )
+    assert "WITH edges AS" in base and base.count("WITH edges AS") == 1
+    sql = base.replace("WITH edges AS", pages_cte, 1)
+    final_old = "SELECT node, r AS rank_scaled FROM r3"
+    assert final_old in sql
+    final_new = f"""SELECT host, slot, uuid, url, rank_scaled FROM (
+        SELECT lower(regexp_extract(p.url, '{_HOST_RE_SQL}', 1)) AS host,
+               CAST(row_number() OVER (
+                 PARTITION BY lower(regexp_extract(p.url, '{_HOST_RE_SQL}', 1))
+                 ORDER BY COALESCE(r.r, 0) DESC, p.uuid) AS BIGINT) AS slot,
+               p.uuid, p.url,
+               CAST(COALESCE(r.r, 0) AS BIGINT) AS rank_scaled
+        FROM pages p LEFT JOIN r3 r ON r.node = p.uuid)
+      WHERE slot <= 2"""
+    return sql.replace(final_old, final_new, 1)
 
 
 def _kmeans_assign_sql(n_iter: int = 3, k: int = 8) -> str:
@@ -3145,6 +3343,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crawl_e2e_pages": _crawl_e2e_oracle_sql(),
         "crawl_pagerank": _crawl_pagerank_oracle_sql(),
+        "crawl_hostgraph": _crawl_hostgraph_oracle_sql(),
+        "crawl_prioritize": _crawl_prioritize_oracle_sql(),
     }
     # the persisted DPP-pruned index path must return IDENTICAL results to
     # the in-memory IVF search — one oracle serves both entries; likewise

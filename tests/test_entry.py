@@ -34,7 +34,8 @@ def test_entry_smoke(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["x4_uuid", "o1_frontier_pop", "dedup_exact", "text_tokens", "sim_ivf_assign"],
+    ["x4_uuid", "o1_frontier_pop", "dedup_exact", "text_tokens",
+     "sim_ivf_assign", "crawl_hostgraph", "crawl_prioritize"],
 )
 def test_oracle_sample(spark, name):
     from tools.oracle_check import normalize
