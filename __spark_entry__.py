@@ -1687,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_hostgraph": q_crawl_hostgraph,
         "crawl_prioritize": q_crawl_prioritize,
+        "crawl_changed_pages": q_crawl_changed_pages,
         "media_decode_stats": q_media_decode_stats,
         "dedup_lines": q_dedup_lines,
         "pack_efficiency": q_pack_efficiency,
@@ -1905,6 +1906,62 @@ def q_crawl_prioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("slot", F.row_number().over(w).cast("bigint"))
         .where(F.col("slot") <= 2)
         .select("host", "slot", "uuid", "url", "rank_scaled")
+    )
+
+
+def _entry_cdc_session(spark: SparkSession):
+    """Two-session recrawl fixture for the changelog entry (cached): crawl
+    the entry corpus, then run a SECOND session on the SAME store against
+    `grow_corpus` (the web aged — every root gained links to /new/ pages).
+    Seeds are re-downloaded (S1: seeds bypass the tracker) and discover
+    the new URLs; everything else stays untouched in the store. Returns
+    (second crawler, pages-store version at the end of session one).
+    Compaction is disabled: the CDF window must not span a compact (it
+    rewrites every live row under a fresh snapshot version)."""
+    import tempfile as _tf
+
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.plans.crawler import PolipusCrawler
+    from polipus_spark.sources.corpus import corpus_df, gen_corpus, grow_corpus
+
+    key = ("entry_cdc", id(spark))
+    if key not in _IVF_INDEX_CACHE:
+        docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+        opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5,
+                            compact_every_waves=None)
+        seeds = ["http://host0.example.com/", "http://host1.example.com/"]
+        work = _tf.mkdtemp(prefix="polipus_cdc_")
+        c1 = PolipusCrawler(spark, corpus_df(spark, docs), opts, work)
+        c1.takeover(seeds)
+        v1 = c1.pages.current_version()
+        c2 = PolipusCrawler(spark, corpus_df(spark, grow_corpus(docs)),
+                            opts, work)
+        c2.takeover(seeds)
+        _IVF_INDEX_CACHE[key] = (c2, v1)
+    return _IVF_INDEX_CACHE[key]
+
+
+def q_crawl_changed_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-changelog recrawl delta (r5): what did the last crawl
+    session change in the page store? Runs `SnapshotTable.changelog`
+    (Iceberg change-data-feed semantics) between the store version at the
+    end of session one and the current version after a recrawl of the
+    GROWN corpus — re-downloaded seeds classify as updates, the newly
+    discovered /new/ pages as inserts, every untouched page emits nothing.
+    Plan shape: two MoR window reads + one equi-join on uuid (both sides
+    hash-partition on the key), classification by snapshot version — no
+    payload comparison, so at 100 TB the feed costs two pruned scans and
+    one co-partitioned join regardless of page body size. Oracle: the
+    simulator replays both sessions; DuckDB computes the diff ITSELF from
+    the two phase snapshots (LEFT JOIN + wave comparison), so the
+    changelog's classification logic is cross-checked, not replayed."""
+    c2, v1 = _entry_cdc_session(spark)
+    feed = c2.pages.changelog(["uuid"], from_version=v1,
+                              order_extra=["wave", "seq"])
+    return feed.select(
+        F.col("_change").alias("change_type"),
+        "uuid", "url",
+        F.col("wave").cast("bigint").alias("wave"),
     )
 
 
@@ -2154,6 +2211,53 @@ def _crawl_prioritize_oracle_sql() -> str:
         FROM pages p LEFT JOIN r3 r ON r.node = p.uuid)
       WHERE slot <= 2"""
     return sql.replace(final_old, final_new, 1)
+
+
+def _crawl_changed_pages_oracle_sql() -> str:
+    """Oracle for crawl_changed_pages: replay BOTH crawl sessions in the
+    pure-Python simulator (same corpus, grown corpus, same options/seeds),
+    emit the page set after each session as VALUES, and let DuckDB derive
+    the change feed itself — LEFT JOIN phase-2 pages onto phase-1 and
+    classify by wave (a re-downloaded page carries a later wave; a new
+    uuid has no phase-1 row). The engine's version-based classification
+    must agree with this independent wave-based derivation row for row."""
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.simulator import CrawlSimulator
+    from polipus_spark.sources.corpus import gen_corpus, grow_corpus
+
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5,
+                        compact_every_waves=None)
+    seeds = ["http://host0.example.com/", "http://host1.example.com/"]
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(seeds)
+    p1 = {u: p.wave for u, p in sim.pages.items()}
+    sim.corpus = {d["doc_id"]: d for d in grow_corpus(docs)}
+    sim.takeover(seeds)
+
+    r1 = ",\n        ".join(
+        f"('{u}', {w})" for u, w in sorted(p1.items()))
+    r2 = ",\n        ".join(
+        "('{}', '{}', {})".format(u, p.url.replace("'", "''"), p.wave)
+        for u, p in sorted(sim.pages.items()))
+    return f"""
+      WITH p1 AS (
+        SELECT CAST(uuid AS VARCHAR) AS uuid, CAST(wave AS BIGINT) AS wave
+        FROM (VALUES
+        {r1}
+        ) AS t(uuid, wave)),
+      p2 AS (
+        SELECT CAST(uuid AS VARCHAR) AS uuid, CAST(url AS VARCHAR) AS url,
+               CAST(wave AS BIGINT) AS wave
+        FROM (VALUES
+        {r2}
+        ) AS t(uuid, url, wave))
+      SELECT CASE WHEN p1.uuid IS NULL THEN 'insert' ELSE 'update' END
+               AS change_type,
+             p2.uuid, p2.url, p2.wave
+      FROM p2 LEFT JOIN p1 ON p1.uuid = p2.uuid
+      WHERE p1.uuid IS NULL OR p2.wave != p1.wave
+    """
 
 
 def _kmeans_assign_sql(n_iter: int = 3, k: int = 8) -> str:
@@ -3345,6 +3449,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pagerank": _crawl_pagerank_oracle_sql(),
         "crawl_hostgraph": _crawl_hostgraph_oracle_sql(),
         "crawl_prioritize": _crawl_prioritize_oracle_sql(),
+        "crawl_changed_pages": _crawl_changed_pages_oracle_sql(),
     }
     # the persisted DPP-pruned index path must return IDENTICAL results to
     # the in-memory IVF search — one oracle serves both entries; likewise

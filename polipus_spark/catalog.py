@@ -207,6 +207,79 @@ class SnapshotTable:
         w = Window.partitionBy(*key_cols).orderBy(*order)
         return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
+    def changelog(self, key_cols: list[str], from_version: int,
+                  to_version: int | None = None,
+                  order_extra: list[str] | None = None) -> DataFrame:
+        """Iceberg-style change data feed between two committed snapshots:
+        the NET per-key change from the resolved view at ``from_version``
+        to the resolved view at ``to_version`` (default: current), as the
+        new-side row plus a ``_change`` column in {'insert','update',
+        'delete'}. Unchanged keys emit nothing. (Iceberg analog:
+        ``table.changes`` / the create_changelog_view procedure — net_changes
+        mode; this table's MoR layout makes it a metadata-only diff.)
+
+        Classification is by snapshot version: a key whose resolved row
+        carries the same ``_v`` at both reads did not change, so the diff
+        never compares payload bytes — only the two MoR window reads and
+        one equi-join on the key (both sides hash-partition on the same
+        key: co-located, no extra exchange at scale). Deletes are keys
+        whose new-side resolved row is a ``_deleted`` tombstone while the
+        old side was live.
+
+        The window must not span a ``compact``/``overwrite``: compaction
+        rewrites every live row under a fresh ``_v`` (everything would
+        classify as updated) and expires the old snapshots (the
+        from-side read can no longer be served) — the guard below raises
+        in that case rather than emitting a wrong feed."""
+        if from_version > 0:
+            snaps = self._manifest()["snapshots"]
+            if snaps and not any(s["version"] <= from_version for s in snaps):
+                raise ValueError(
+                    f"changelog({self.name}): from_version={from_version} "
+                    "predates the oldest retained snapshot (a compact/"
+                    "overwrite expired it) — the diff cannot be computed"
+                )
+        new = self.read_latest_by(key_cols, order_extra=order_extra,
+                                  as_of=to_version)
+
+        def _del(df: DataFrame):
+            if "_deleted" in df.columns:
+                return F.coalesce(F.col("_deleted"), F.lit(False))
+            return F.lit(False)
+
+        new = new.withColumn("_del_new", _del(new))
+        if from_version <= 0:
+            changed = new.where(~F.col("_del_new")).withColumn(
+                "_change", F.lit("insert"))
+            return changed.drop("_del_new")
+        old = self.read_latest_by(key_cols, order_extra=order_extra,
+                                  as_of=from_version)
+        old_keyed = old.select(
+            *[F.col(k).alias(f"_old_{k}") for k in key_cols],
+            F.col(V_COL).alias("_v_old"),
+            _del(old).alias("_del_old"),
+        )
+        cond = None
+        for k in key_cols:
+            c = new[k] == old_keyed[f"_old_{k}"]
+            cond = c if cond is None else cond & c
+        # append-only manifest + the guard above ⇒ old keys ⊆ new read, so
+        # a LEFT join from the new side sees every key that ever existed
+        j = new.join(old_keyed, cond, "left")
+        was_live = F.col("_v_old").isNotNull() & ~F.col("_del_old")
+        change = (
+            F.when(F.col("_del_new") & was_live, F.lit("delete"))
+            .when(~F.col("_del_new") & ~was_live, F.lit("insert"))
+            .when(~F.col("_del_new") & was_live
+                  & (F.col(V_COL) > F.col("_v_old")), F.lit("update"))
+        )
+        return (
+            j.withColumn("_change", change)
+            .where(F.col("_change").isNotNull())
+            .drop("_del_new", "_del_old", "_v_old",
+                  *[f"_old_{k}" for k in key_cols])
+        )
+
     def is_empty(self) -> bool:
         return not self.exists()
 

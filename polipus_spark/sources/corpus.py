@@ -195,6 +195,54 @@ def gen_corpus(
     return docs
 
 
+def grow_corpus(docs: list[dict], n_new: int = 2) -> list[dict]:
+    """Deterministically "age" a corpus one recrawl period: the web grew.
+
+    Returns a NEW doc list where every host root gains one appended text
+    span linking to ``n_new`` brand-new pages under ``/new/<j>`` (which are
+    added as real 200 docs). Nothing else changes — existing spans keep
+    their bytes and offsets, so a page re-downloaded against the grown
+    corpus differs from its stored copy ONLY by the appended span (and
+    pages that are not re-downloaded keep byte-identical stored spans).
+    This is the recrawl-delta fixture: seeds re-fetched on the next
+    session (S1 — seeds bypass the tracker) discover the new URLs, while
+    non-seed pages stay untouched in the store."""
+    by_id = {d["doc_id"]: d for d in docs}
+    grown: list[dict] = []
+    hosts = sorted({d["host"] for d in docs})
+    for d in docs:
+        root = f"http://{d['host']}/"
+        if d["doc_id"] == root and d["code"] == 200:
+            links = " ".join(
+                f'new <a href="http://{d["host"]}/new/{j}">n{j}</a>'
+                for j in range(n_new)
+            )
+            top = max(s["offset"] for s in d["spans"]) if d["spans"] else 0
+            d = dict(d, spans=list(d["spans"]) + [{
+                "kind": "text", "text": f"What's new: {links}",
+                "media_ref": "", "offset": top + 1000,
+            }])
+        grown.append(d)
+    for h in hosts:
+        if f"http://{h}/" not in by_id:
+            continue
+        for j in range(n_new):
+            doc_id = f"http://{h}/new/{j}"
+            if doc_id in by_id:
+                continue
+            grown.append({
+                "doc_id": doc_id,
+                "spans": [{
+                    "kind": "text",
+                    "text": f'Fresh page {j} on {h} . back to '
+                            f'<a href="http://{h}/">home</a>',
+                    "media_ref": "", "offset": 0,
+                }],
+                "host": h, "code": 200, "redirect_to": None,
+            })
+    return grown
+
+
 def corpus_df(spark: SparkSession, docs: list[dict]) -> DataFrame:
     rows = [
         (
