@@ -1688,6 +1688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_hostgraph": q_crawl_hostgraph,
         "crawl_prioritize": q_crawl_prioritize,
         "crawl_changed_pages": q_crawl_changed_pages,
+        "text_bpe_segment": q_text_bpe_segment,
+        "dedup_keep_best": q_dedup_keep_best,
         "media_decode_stats": q_media_decode_stats,
         "dedup_lines": q_dedup_lines,
         "pack_efficiency": q_pack_efficiency,
@@ -1906,6 +1908,59 @@ def q_crawl_prioritize(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("slot", F.row_number().over(w).cast("bigint"))
         .where(F.col("slot") <= 2)
         .select("host", "slot", "uuid", "url", "rank_scaled")
+    )
+
+
+def q_text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (r5): train 6 merges (text_bpe_merges'
+    exact path), collect the 6-row merge table (bounded driver collect —
+    the trained tokenizer IS a small artifact), and segment every distinct
+    corpus word with `bpe_segment` — the production tokenize pass: purely
+    map-side literal Column replaces in merge-rank order, no UDF, no
+    shuffle beyond the word distinct. At 100 TB the segmentation is a
+    scan; the vocab-sized distinct is the only exchange. Oracle: DuckDB
+    re-trains the merges itself with the unrolled training CTEs, then
+    applies them as nested literal replace calls — training AND
+    application cross-checked end-to-end."""
+    from polipus_spark.functions.bpe import bpe_segment, bpe_train
+
+    d = _docs(spark, sf_dir)
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(d, n_merges=6).orderBy("merge_rank").collect()
+    ]
+    seg = bpe_segment(d, merges)
+    return seg.select(
+        "word",
+        F.array_join("pieces", " ").alias("seg"),
+        F.size("pieces").cast("bigint").alias("n_pieces"),
+    )
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection (r5): the curation rule
+    real pipelines use — within each near-dup cluster keep the BEST copy
+    (most words, doc_id tiebreak), not the arbitrary min-id. Composes
+    MinHash-LSH candidate pairs → connected components → one window over
+    component partitions ordered by (n_words DESC, doc_id). Components
+    are tiny dense cliques, so the window partition never skews; the
+    quality feature is a pure Column. Oracle: the recursive-CTE component
+    derivation shared with dedup_components + DuckDB's own row_number."""
+    from polipus_spark.functions.dedup import lsh_candidate_pairs, near_dup_groups
+    from polipus_spark.functions.text import quality_features
+
+    d = _docs(spark, sf_dir)
+    comp = near_dup_groups(d, lsh_candidate_pairs(d))
+    q = quality_features(F.col("text"))
+    scored = d.select(
+        "doc_id", q["n_words"].cast("bigint").alias("n_words")
+    ).join(comp, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_words"), F.col("doc_id"))
+    return (
+        scored.withColumn("_rnk", F.row_number().over(w))
+        .where(F.col("_rnk") == 1)
+        .select("component", F.col("doc_id").alias("kept_doc"), "n_words")
     )
 
 
@@ -2632,6 +2687,35 @@ def _bpe_sql(n_merges: int = 6, min_len: int = 2) -> str:
     return "\n".join(parts)
 
 
+def _bpe_segment_sql(n_merges: int = 6, min_len: int = 2) -> str:
+    """Oracle for text_bpe_segment: re-derive the merge table with the SAME
+    unrolled training CTEs as text_bpe_merges (b1..bN — the oracle trains
+    its own tokenizer, it is not handed Spark's), then apply the merges in
+    rank order to every distinct stripped word as nested literal
+    ``replace`` calls (scalar subqueries against b1..bN) — the identical
+    greedy non-overlapping scan both engines' replace implements."""
+    base = _bpe_sql(n_merges, min_len)
+    idx = base.rindex("\nSELECT CAST(1 AS INT) AS merge_rank")
+    ctes = base[:idx]
+    ws = "list_filter(regexp_split_to_array(lower(text), '\\s+'), w -> w <> '')"
+    expr = "regexp_replace(w, '(.)', '(\\1)', 'g')"
+    for i in range(1, n_merges + 1):
+        expr = (f"replace({expr}, (SELECT '(' || l || ')(' || r || ')' "
+                f"FROM b{i}), (SELECT '(' || l || r || ')' FROM b{i}))")
+    return f"""{ctes},
+      wordsd AS (
+        SELECT DISTINCT regexp_replace(unnest({ws}), '[^a-z0-9]', '', 'g') AS w
+        FROM documents),
+      seg AS (
+        SELECT w, {expr} AS s FROM wordsd WHERE len(w) >= {min_len})
+      SELECT w AS word,
+             array_to_string(regexp_extract_all(s, '\\(([^)]*)\\)', 1), ' ') AS seg,
+             CAST(len(regexp_extract_all(s, '\\(([^)]*)\\)', 1)) AS BIGINT)
+               AS n_pieces
+      FROM seg
+    """
+
+
 def _shingles_sql(source: str = "documents") -> str:
     """(id, g): 60-bit md5 hashes of distinct 3-word shingles — hashed
     BEFORE the intersection join, mirroring dedup.ngram_jaccard."""
@@ -2981,6 +3065,7 @@ def oracle_sql() -> dict[str, str]:
                                                     rows_per_band=4,
                                                     min_matches=4),
         "text_bpe_merges": _bpe_sql(n_merges=6, min_len=2),
+        "text_bpe_segment": _bpe_segment_sql(n_merges=6, min_len=2),
         "events_asof_join": """
           WITH views AS (
             SELECT user_id, ts, max(event_id) AS view_id
@@ -3275,6 +3360,32 @@ def oracle_sql() -> dict[str, str]:
           FROM documents d
           LEFT JOIN (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node) m
             ON m.node = d.doc_id
+        """,
+        "dedup_keep_best": lsh_cte.replace("WITH sigs", "WITH RECURSIVE sigs", 1) + f""",
+          pairs AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.id < r.id),
+          edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs),
+          reach(node, comp) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.node),
+          comp AS (
+            SELECT d.doc_id, COALESCE(m.comp, d.doc_id) AS component
+            FROM documents d
+            LEFT JOIN (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node) m
+              ON m.node = d.doc_id),
+          scored AS (
+            SELECT c.component, c.doc_id, CAST(len({ws.replace('text', 'd.text')}) AS BIGINT) AS n_words
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+          SELECT component, doc_id AS kept_doc, n_words
+          FROM scored
+          QUALIFY row_number() OVER (
+            PARTITION BY component ORDER BY n_words DESC, doc_id) = 1
         """,
         "sim_quantize_int8": """
           SELECT vec_id, CAST(i - 1 AS INT) AS pos,
