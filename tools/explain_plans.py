@@ -166,6 +166,29 @@ def main() -> None:
         "each rank round is a pair of hash equi-joins plus a narrow "
         "node-key agg with localCheckpoint between rounds (the plan stays "
         "shallow across iterations — no lineage blowup).",
+        "crawl_hostgraph": "host-level web graph (r5): X2 extraction is "
+        "Catalyst regexp + one Arrow canonicalize hop; the rollup is a "
+        "single partial-agg groupBy — at corpus scale this is a scan plus "
+        "ONE shuffle keyed by the (src_host, dst_host) pair.",
+        "crawl_prioritize": "importance-driven recrawl scheduler (r5): "
+        "pagerank's checkpointed join+agg rounds, then the |nodes|-row "
+        "rank table joins pages on uuid and ONE window over host "
+        "partitions ranks refresh slots — the same salted-window "
+        "machinery as O1 absorbs hot hosts.",
+        "crawl_changed_pages": "snapshot changelog / CDF (r5): two MoR "
+        "window reads + ONE left equi-join on uuid, classification by "
+        "snapshot version — page BODIES never cross the diff, so the "
+        "feed costs two pruned scans and a co-partitioned join at any "
+        "store size; unchanged keys emit nothing.",
+        "text_bpe_segment": "tokenizer application (r5): the trained "
+        "merge table folds into literal Column replaces (no UDF) — "
+        "map-side segmentation; the only exchange is the vocab-sized "
+        "word distinct.",
+        "dedup_keep_best": "quality-aware survivor selection (r5): "
+        "component labels from the checkpointed join+agg rounds, then "
+        "ONE window partitioned by component (near-dup components are "
+        "tiny dense cliques — no partition skew) ordered by a pure-"
+        "Column quality feature.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
