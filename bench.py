@@ -317,6 +317,9 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "graph_triangles", "graph_clustering", "events_gapfill",
         # r5: baseline JFIF decode — the last multimodal format
         "jpeg_decode_stats",
+        # r5 second batch: tokenizer application (train + segment) and
+        # quality-aware near-dup survivor selection
+        "text_bpe_segment", "dedup_keep_best",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):
