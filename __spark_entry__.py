@@ -1982,7 +1982,9 @@ def _entry_cdc_session(spark: SparkSession):
     key = ("entry_cdc", id(spark))
     if key not in _IVF_INDEX_CACHE:
         docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
-        opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5,
+        # depth 1 / 4 waves: phase one is 2 waves, the recrawl 2 more —
+        # same 6-row feed as the deep config at half the driver cost
+        opts = CrawlOptions(depth_limit=1, obey_robots_txt=True, max_waves=4,
                             compact_every_waves=None)
         seeds = ["http://host0.example.com/", "http://host1.example.com/"]
         work = _tf.mkdtemp(prefix="polipus_cdc_")
@@ -2281,7 +2283,7 @@ def _crawl_changed_pages_oracle_sql() -> str:
     from polipus_spark.sources.corpus import gen_corpus, grow_corpus
 
     docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
-    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5,
+    opts = CrawlOptions(depth_limit=1, obey_robots_txt=True, max_waves=4,
                         compact_every_waves=None)
     seeds = ["http://host0.example.com/", "http://host1.example.com/"]
     sim = CrawlSimulator(docs, opts)
