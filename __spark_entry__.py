@@ -1690,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_changed_pages": q_crawl_changed_pages,
         "text_bpe_segment": q_text_bpe_segment,
         "dedup_keep_best": q_dedup_keep_best,
+        "dedup_media_phash": q_dedup_media_phash,
         "media_decode_stats": q_media_decode_stats,
         "dedup_lines": q_dedup_lines,
         "pack_efficiency": q_pack_efficiency,
@@ -1962,6 +1963,37 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rnk") == 1)
         .select("component", F.col("doc_id").alias("kept_doc"), "n_words")
     )
+
+
+def q_dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup (r5): perceptual dHash over REAL image decode
+    + Hamming pigeonhole banding — the media-side twin of SimHash text
+    dedup. Fixture: each doc renders a deterministic 4×4 PPM whose raster
+    is the doc's GROUP image (doc_id % 64 → md5 bytes) with ONE per-doc
+    byte perturbed (pixel (3,3) blue ← md5(doc_id)), so same-group images
+    are visual near-dups (dHash Hamming ≤ 1 — only one horizontal
+    comparison touches the perturbed pixel) and cross-group images are
+    far. Plan: ONE mapInPandas decode+hash pass (no shuffle), then the
+    banded equi-join sees only (id, 8-byte hash) rows — at 100 TB the
+    pixels never cross the wire. Oracle: DuckDB re-derives the pixels
+    from the same md5 arithmetic, recomputes gray/dHash/banding/xor
+    itself — decoder, hash, and join semantics checked independently."""
+    from polipus_spark.functions.dedup import hamming_near_pairs
+    from polipus_spark.functions.multimodal import image_dhash
+
+    d = _docs(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 64).cast("string")
+    base = F.concat(F.md5(F.concat(F.lit("grp"), g)),
+                    F.md5(F.concat(F.lit("grp"), g, F.lit("a"))),
+                    F.md5(F.concat(F.lit("grp"), g, F.lit("b"))))
+    hexbody = F.concat(F.substring(base, 1, 94), F.substring(F.md5(s), 1, 2))
+    payload = F.concat(F.lit("P6\n4 4\n255\n").cast("binary"),
+                       F.to_binary(hexbody, F.lit("hex")))
+    media = d.select("doc_id", payload.alias("payload"))
+    sigs = image_dhash(media)
+    return hamming_near_pairs(sigs, n_bits=12, k=1,
+                              id_col="doc_id", hash_col="dhash")
 
 
 def _entry_cdc_session(spark: SparkSession):
@@ -3068,6 +3100,45 @@ def oracle_sql() -> dict[str, str]:
                                                     min_matches=4),
         "text_bpe_merges": _bpe_sql(n_merges=6, min_len=2),
         "text_bpe_segment": _bpe_segment_sql(n_merges=6, min_len=2),
+        "dedup_media_phash": """
+          WITH hx AS (
+            SELECT doc_id,
+                   substr(md5('grp' || CAST(doc_id % 64 AS VARCHAR))
+                       || md5('grp' || CAST(doc_id % 64 AS VARCHAR) || 'a')
+                       || md5('grp' || CAST(doc_id % 64 AS VARCHAR) || 'b'),
+                       1, 94)
+                   || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx
+            FROM documents),
+          px AS (
+            SELECT doc_id, p,
+                   (CAST(concat('0x', substr(hx, CAST(p*6+1 AS INT), 2)) AS BIGINT)
+                  + CAST(concat('0x', substr(hx, CAST(p*6+3 AS INT), 2)) AS BIGINT)
+                  + CAST(concat('0x', substr(hx, CAST(p*6+5 AS INT), 2)) AS BIGINT))
+                   // 3 AS gray
+            FROM hx, unnest(range(0, 16)) AS t(p)),
+          dh AS (
+            SELECT m.doc_id,
+                   CAST(sum(CASE WHEN ga.gray > gb.gray
+                            THEN 1 << CAST(m.j AS INT) ELSE 0 END) AS BIGINT) AS sh
+            FROM (SELECT doc_id, j, (j // 3) * 4 + (j % 3) AS pa,
+                         (j // 3) * 4 + (j % 3) + 1 AS pb
+                  FROM documents, unnest(range(0, 12)) AS t(j)) m
+            JOIN px ga ON ga.doc_id = m.doc_id AND ga.p = m.pa
+            JOIN px gb ON gb.doc_id = m.doc_id AND gb.p = m.pb
+            GROUP BY m.doc_id),
+          banded AS (
+            SELECT doc_id, 0 AS band, sh & 63 AS bits, sh FROM dh
+            UNION ALL
+            SELECT doc_id, 1, (sh >> 6) & 63, sh FROM dh),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   l.sh AS sa, r.sh AS sb
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id)
+          SELECT id_a, id_b,
+                 CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+          FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+        """,
         "events_asof_join": """
           WITH views AS (
             SELECT user_id, ts, max(event_id) AS view_id

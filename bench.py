@@ -319,7 +319,7 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "jpeg_decode_stats",
         # r5 second batch: tokenizer application (train + segment) and
         # quality-aware near-dup survivor selection
-        "text_bpe_segment", "dedup_keep_best",
+        "text_bpe_segment", "dedup_keep_best", "dedup_media_phash",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

@@ -565,12 +565,6 @@ def simhash_near_pairs(
     ``bit_count(xor) <= k`` — everything JVM-side Column math, no Python.
     Output: (id_a, id_b, hamming) with id_a < id_b.
     """
-    n_bands = k + 1
-    widths = [60 // n_bands] * n_bands
-    for i in range(60 % n_bands):
-        widths[i] += 1
-    shifts = [sum(widths[:i]) for i in range(n_bands)]
-
     # The signature frame feeds both sides of the self-join; persist it so
     # the 60-bit agg runs once. ``persisted`` follows the fetch_wave
     # pattern: pass a list to receive the handle and unpersist after
@@ -579,6 +573,27 @@ def simhash_near_pairs(
     s = simhash60_agg(docs, id_col, text_col).persist()
     if persisted is not None:
         persisted.append(s)
+    return hamming_near_pairs(s, n_bits=60, k=k)
+
+
+def hamming_near_pairs(sigs: DataFrame, n_bits: int, k: int = 3,
+                       id_col: str = "id",
+                       hash_col: str = "sh") -> DataFrame:
+    """Pairs within Hamming distance ``k`` over any ``n_bits`` integer
+    fingerprint column — the pigeonhole banding shared by text SimHash
+    (60-bit) and image dHash (r5): split the bits into k+1 contiguous
+    bands, equi-join on (band, band_bits), verify with one
+    ``bit_count(xor) <= k``. Band width should stay wide enough that a
+    random collision is rare (see simhash_near_pairs' 15-bit discussion);
+    with small n_bits the verify filter still guarantees correctness, the
+    join just screens less. Output (id_a, id_b, hamming), id_a < id_b."""
+    n_bands = k + 1
+    widths = [n_bits // n_bands] * n_bands
+    for i in range(n_bits % n_bands):
+        widths[i] += 1
+    shifts = [sum(widths[:i]) for i in range(n_bands)]
+
+    s = sigs.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
     bands = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

@@ -862,6 +862,50 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(_extract, out_schema)
 
 
+def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual difference hash (dHash) over REAL image decode.
+
+    Classic image near-dup fingerprint (public technique: compare each
+    grayscale pixel to its right neighbour; visually identical images
+    differ in few bits). Per payload: decode (PPM/BMP/PNG), integer
+    grayscale ``(r+g+b)//3``, horizontal comparisons row-major —
+    bit j (j = y·(w−1)+x) set iff gray[y,x] > gray[y,x+1] — packed
+    little-endian into ONE BIGINT (first 60 comparisons, so any w×h fits
+    the 64-bit lane). All-integer, so a SQL oracle deriving the same
+    pixels reproduces the hash bit-for-bit. mapInPandas Arrow batches, no
+    shuffle: at 100 TB the hashing pass is embarrassingly parallel map
+    work; the near-dup join downstream sees only (id, 8-byte hash) rows.
+    Undecodable/null payloads yield a null hash."""
+    out_schema = T.StructType(
+        list(media.schema.fields)
+        + [
+            T.StructField("dhash", T.LongType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def _dh(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("dhash", "width", "height")}
+            for p in pdf[payload_col]:
+                try:
+                    img = decode_image(p)
+                    gray = img.astype(np.int64).sum(axis=2) // 3
+                    bits = (gray[:, :-1] > gray[:, 1:]).reshape(-1)[:60]
+                    h = 0
+                    for j in np.nonzero(bits)[0]:
+                        h |= 1 << int(j)
+                    vals = (h, img.shape[1], img.shape[0])
+                except (ValueError, NotImplementedError, TypeError):
+                    vals = (None, None, None)
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pdf.assign(**cols)
+
+    return media.mapInPandas(_dh, out_schema)
+
+
 def image_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL image decode → per-image stats columns.
 

@@ -1476,3 +1476,50 @@ def test_clustering_coefficients_hand_cases(spark):
     got = {r["node"]: (r["deg"], r["n_tri"], r["cc_scaled"])
            for r in clustering_coefficients(path).collect()}
     assert got == {2: (2, 0, 0)}
+
+
+def test_image_dhash_and_hamming_near_pairs(spark):
+    """dHash hand-cases: a one-pixel perturbation stays within Hamming 1 of
+    its base image; a gradient image is far from a flat one; the banded
+    join (k=1) finds exactly the near pair. Also pins the bit layout:
+    bit j = y*(w-1)+x set iff gray[y,x] > gray[y,x+1]."""
+    from polipus_spark.functions.dedup import hamming_near_pairs
+    from polipus_spark.functions.multimodal import image_dhash
+
+    def ppm(raster: bytes) -> bytes:
+        return b"P6\n4 4\n255\n" + raster
+
+    flat = ppm(bytes([10, 10, 10] * 16))
+    # one pixel (3,3) brighter: only comparison (y=3, x=2) -> bit 11 differs
+    one = bytearray([10, 10, 10] * 16)
+    one[45:48] = bytes([200, 200, 200])
+    # decreasing gradient: every horizontal comparison true -> all 12 bits
+    grad = ppm(bytes(b for x in [240, 160, 80, 0] * 4 for b in (x, x, x)))
+
+    rows = [(1, flat), (2, ppm(bytes(one))), (3, grad)]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r["dhash"]
+           for r in image_dhash(media).collect()}
+    assert got[1] == 0
+    assert got[2] == 0  # brighter RIGHT neighbour: gray[3,2] > gray[3,3] is False
+    assert got[3] == (1 << 12) - 1
+
+    # make doc 2 the one with the set bit instead (darker right neighbour)
+    two = bytearray([10, 10, 10] * 16)
+    two[45:48] = bytes([0, 0, 0])
+    media2 = spark.createDataFrame(
+        [(1, flat), (2, ppm(bytes(two))), (3, grad)],
+        "doc_id long, payload binary")
+    sigs = image_dhash(media2)
+    got2 = {r["doc_id"]: r["dhash"] for r in sigs.collect()}
+    assert got2[2] == 1 << 11  # exactly bit j = 3*(4-1)+2
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in hamming_near_pairs(
+                 sigs, n_bits=12, k=1,
+                 id_col="doc_id", hash_col="dhash").collect()}
+    assert pairs == {(1, 2): 1}
+
+    # undecodable payload -> null hash, excluded from pairing
+    bad = spark.createDataFrame(
+        [(9, b"notanimage")], "doc_id long, payload binary")
+    assert image_dhash(bad).collect()[0]["dhash"] is None
