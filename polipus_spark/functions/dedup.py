@@ -422,14 +422,41 @@ def near_dup_groups(
 
 
 def dedup_near(
-    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    survivor: str = "min_id", text_col: str = "text",
 ) -> DataFrame:
-    """Drop near-duplicates: keep one doc (the min id) per connected
-    component of the pair graph; singletons always survive."""
+    """Drop near-duplicates: keep ONE doc per connected component of the
+    pair graph; singletons always survive.
+
+    ``survivor`` picks the kept copy:
+      * ``"min_id"`` (default) — the component label itself; zero extra
+        dataflow beyond the label join.
+      * ``"best"`` (r5) — the highest-quality copy (most words,
+        ``text_col`` pure-Column feature; id tiebreak) — the rule real
+        curation pipelines use so the most complete version survives. One
+        extra window over component partitions (tiny dense cliques — no
+        skew)."""
     groups = near_dup_groups(docs, pairs, id_col)
-    keep = groups.where(F.col("doc_id") == F.col("component")).select(
-        F.col("doc_id").alias(id_col)
-    )
+    if survivor == "min_id":
+        keep = groups.where(F.col("doc_id") == F.col("component")).select(
+            F.col("doc_id").alias(id_col)
+        )
+    elif survivor == "best":
+        from polipus_spark.functions.text import quality_features
+
+        q = quality_features(F.col(text_col))
+        scored = docs.select(
+            F.col(id_col).alias("doc_id"), q["n_words"].alias("_nw")
+        ).join(groups, "doc_id")
+        w = Window.partitionBy("component").orderBy(
+            F.desc("_nw"), F.col("doc_id"))
+        keep = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("doc_id").alias(id_col))
+        )
+    else:
+        raise ValueError(f"unknown survivor policy {survivor!r}")
     return docs.join(keep, id_col, "left_semi")
 
 
@@ -441,6 +468,7 @@ def fuzzy_dedup(
     n_bands: int = 4,
     rows_per_band: int = 4,
     shingle_k: int = 3,
+    survivor: str = "min_id",
 ) -> DataFrame:
     """The full fuzzy-dedup pass a training corpus gets, end to end:
 
@@ -449,7 +477,8 @@ def fuzzy_dedup(
       2. MinHash-LSH candidate pairs (collision-bounded, never n²);
       3. exact n-gram Jaccard verify ≥ ``jaccard_pct`` (integer ratio);
       4. connected components over verified pairs (hash-min propagation);
-      5. keep the min-id doc per component.
+      5. keep one doc per component — min-id, or the highest-quality copy
+         with ``survivor="best"`` (see :func:`dedup_near`).
 
     Every stage is the already-scale-audited operator; the composition adds
     no new shuffle shape. Returns the surviving rows of ``docs``.
@@ -461,7 +490,8 @@ def fuzzy_dedup(
     verified = j.where(
         F.col("inter") * 100 >= F.col("union_n") * jaccard_pct
     ).select("id_a", "id_b")
-    return dedup_near(d1, verified, id_col)
+    return dedup_near(d1, verified, id_col, survivor=survivor,
+                      text_col=text_col)
 
 
 def exact_dup_groups(

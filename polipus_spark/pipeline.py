@@ -46,6 +46,7 @@ def curate_corpus(
     default_bps: int = 10_000,
     decontam_ngram: int = 8,
     jaccard_pct: int = 70,
+    survivor: str = "min_id",
     span_dedup_words: int | None = None,
     minhash_store_dir: str | None = None,
     store_min_matches: int = 12,
@@ -107,7 +108,7 @@ def curate_corpus(
         d = d.join(hits, id_col, "left_anti")
         stages["store_deduped"] = d
     d = fuzzy_dedup(d, id_col=id_col, text_col=text_col,
-                    jaccard_pct=jaccard_pct)
+                    jaccard_pct=jaccard_pct, survivor=survivor)
     stages["deduped"] = d
     if embeddings is not None and semantic_threshold is not None:
         from polipus_spark.functions.similarity import semantic_dedup_pairs

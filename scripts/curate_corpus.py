@@ -46,6 +46,9 @@ def main() -> None:
     p.add_argument("--lang-rates", default=None, help="per-language bps, e.g. en=2500,de=7500")
     p.add_argument("--default-bps", type=int, default=10_000)
     p.add_argument("--jaccard-pct", type=int, default=70)
+    p.add_argument("--survivor", default="min_id", choices=["min_id", "best"],
+                   help="near-dup survivor policy: min_id (cheapest) or "
+                        "best (keep the most complete copy per cluster)")
     p.add_argument("--span-dedup-words", type=int, default=None,
                    help="also remove cross-doc repeated N-word spans")
     p.add_argument("--store", default=None,
@@ -79,6 +82,7 @@ def main() -> None:
         lang_rates_bps=_parse_rates(args.lang_rates),
         default_bps=args.default_bps,
         jaccard_pct=args.jaccard_pct,
+        survivor=args.survivor,
         span_dedup_words=args.span_dedup_words,
         minhash_store_dir=args.store,
         store_min_matches=args.store_min_matches,

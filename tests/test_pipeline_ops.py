@@ -1523,3 +1523,24 @@ def test_image_dhash_and_hamming_near_pairs(spark):
     bad = spark.createDataFrame(
         [(9, b"notanimage")], "doc_id long, payload binary")
     assert image_dhash(bad).collect()[0]["dhash"] is None
+
+
+def test_dedup_near_survivor_best(spark):
+    """survivor='best' keeps the most complete copy per cluster (min_id
+    keeps the label); singletons survive under both policies."""
+    from polipus_spark.functions.dedup import dedup_near
+
+    docs = spark.createDataFrame(
+        [(1, "short copy"), (2, "the much longer and more complete copy"),
+         (3, "unrelated singleton")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    min_ids = {r["doc_id"] for r in dedup_near(docs, pairs).collect()}
+    assert min_ids == {1, 3}
+    best = {r["doc_id"]
+            for r in dedup_near(docs, pairs, survivor="best").collect()}
+    assert best == {2, 3}
+    import pytest
+
+    with pytest.raises(ValueError, match="survivor"):
+        dedup_near(docs, pairs, survivor="wat")
