@@ -618,6 +618,12 @@ def hamming_near_pairs(sigs: DataFrame, n_bits: int, k: int = 3,
     with small n_bits the verify filter still guarantees correctness, the
     join just screens less. Output (id_a, id_b, hamming), id_a < id_b."""
     n_bands = k + 1
+    if n_bits < n_bands:
+        # a zero-width band matches EVERY row — the equi-join degenerates
+        # to a cross join; refuse rather than quietly go quadratic
+        raise ValueError(
+            f"hamming_near_pairs: k={k} needs {n_bands} non-empty bands "
+            f"but the fingerprint has only {n_bits} bits")
     widths = [n_bits // n_bands] * n_bands
     for i in range(n_bits % n_bands):
         widths[i] += 1

@@ -1544,3 +1544,13 @@ def test_dedup_near_survivor_best(spark):
 
     with pytest.raises(ValueError, match="survivor"):
         dedup_near(docs, pairs, survivor="wat")
+
+
+def test_hamming_near_pairs_rejects_zero_width_bands(spark):
+    import pytest
+
+    from polipus_spark.functions.dedup import hamming_near_pairs
+
+    sigs = spark.createDataFrame([(1, 3)], "id long, sh long")
+    with pytest.raises(ValueError, match="non-empty bands"):
+        hamming_near_pairs(sigs, n_bits=2, k=2)
