@@ -576,6 +576,36 @@ def q_dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(_docs(spark, sf_dir), k=3)
 
 
+def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed in-engine text embedding (r5): per-doc sign
+    fingerprint + squared norm of the 60-dim hashing-trick vector —
+    projected to scalars so the oracle hash-checks every component of
+    every doc's embedding (bit j of sh = sign of component j; n2 = Σv²)."""
+    from polipus_spark.functions.text import hash_embed
+
+    d = _docs(spark, sf_dir)
+    emb = hash_embed(F.col("text"), 60)
+    sig = F.aggregate(
+        F.reverse(emb), F.lit(0).cast("bigint"),
+        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0))
+    n2 = F.aggregate(
+        emb, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v)
+    return d.select("doc_id", sig.alias("sh"), n2.alias("n2"))
+
+
+def q_dedup_hashembed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs with NO precomputed embeddings table (r5):
+    text → hashing-trick embedding → sign-pattern SimHash → pigeonhole
+    Hamming banding → integer-exact squared-cosine verify (≥ 0.81) on the
+    candidates only. The whole chain is Column folds + one banded
+    equi-join — the semantic-dedup path for a corpus that hasn't been
+    through an embedding model yet."""
+    from polipus_spark.functions.dedup import hash_embed_near_pairs
+
+    return hash_embed_near_pairs(
+        _docs(spark, sf_dir), dim=60, k=3, cos2_bps_min=8100)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination screen: per-doc count of distinct 8-word
     grams shared with the 'benchmark' (docs 0-4 stand in for an eval set).
@@ -1728,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_pipeline": q_dedup_fuzzy_pipeline,
         "decontaminate": q_decontaminate,
         "dedup_simhash_near": q_dedup_simhash_near,
+        "text_hash_embed": q_text_hash_embed,
+        "dedup_hashembed_near": q_dedup_hashembed_near,
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -2777,6 +2809,31 @@ def oracle_sql() -> dict[str, str]:
         for b in range(16)
     )
     lsh_cte = _minhash_banded_sql()
+    # shared by text_hash_embed / dedup_hashembed_near: the hashing-trick
+    # embedding (bucket + sign from independent md5 substrings), its
+    # sign-pattern fingerprint and squared norm — exact integers end to end
+    hashembed_cte = """
+      WITH wt AS (
+        SELECT doc_id AS id,
+               CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT) % 60 AS b,
+               CAST(concat('0x', substr(md5(w), 8, 1)) AS BIGINT) % 2 * 2 - 1
+                 AS sgn
+        FROM (SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(lower(text), '\\s+'),
+                       w -> w <> '')) AS w
+              FROM documents)
+      ),
+      comp AS (SELECT id, b, CAST(SUM(sgn) AS BIGINT) AS v
+               FROM wt GROUP BY id, b),
+      agg AS (
+        SELECT id,
+               CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS BIGINT) AS sh,
+               CAST(SUM(v * v) AS BIGINT) AS n2
+        FROM comp GROUP BY id
+      )
+    """
     # shared by pack_sequences / pack_efficiency: chunking + md5 bins +
     # the recursive greedy-fill replay
     pack_cte = f"""
@@ -3335,6 +3392,45 @@ def oracle_sql() -> dict[str, str]:
           FROM banded l JOIN banded r
             ON l.band = r.band AND l.bits = r.bits AND l.id < r.id
           WHERE bit_count(xor(l.sh, r.sh)) <= 3
+        """,
+        "text_hash_embed": hashembed_cte + """
+          SELECT d.doc_id,
+                 CAST(COALESCE(a.sh, 0) AS BIGINT) AS sh,
+                 CAST(COALESCE(a.n2, 0) AS BIGINT) AS n2
+          FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+        """,
+        "dedup_hashembed_near": hashembed_cte + """,
+          s AS (SELECT id, sh, n2 FROM agg WHERE n2 > 0),
+          banded AS (
+                      SELECT id, sh, 0 AS band, (sh >> 0) & 32767 AS bits
+                      FROM s
+            UNION ALL SELECT id, sh, 1, (sh >> 15) & 32767 FROM s
+            UNION ALL SELECT id, sh, 2, (sh >> 30) & 32767 FROM s
+            UNION ALL SELECT id, sh, 3, (sh >> 45) & 32767 FROM s
+          ),
+          cand AS (
+            SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+                   CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bits = r.bits AND l.id < r.id
+            WHERE bit_count(xor(l.sh, r.sh)) <= 3
+          ),
+          dots AS (
+            SELECT c.id_a, c.id_b, c.hamming,
+                   CAST(COALESCE(SUM(ca.v * cb.v), 0) AS BIGINT) AS dot
+            FROM cand c
+            LEFT JOIN comp ca ON ca.id = c.id_a
+            LEFT JOIN comp cb ON cb.id = c.id_b AND cb.b = ca.b
+            GROUP BY c.id_a, c.id_b, c.hamming
+          )
+          SELECT d.id_a, d.id_b, d.hamming,
+                 CAST((d.dot * d.dot * 10000) // (na.n2 * nb.n2) AS BIGINT)
+                   AS cos2_bps
+          FROM dots d
+          JOIN s na ON na.id = d.id_a
+          JOIN s nb ON nb.id = d.id_b
+          WHERE d.dot > 0
+            AND d.dot * d.dot * 10000 >= 8100 * na.n2 * nb.n2
         """,
         "dedup_minhash_lsh": lsh_cte + """
           SELECT DISTINCT l.id AS id_a, r.id AS id_b

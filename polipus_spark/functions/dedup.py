@@ -751,3 +751,78 @@ def dedup_lines(
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "unit"),
     ).where(F.trim(F.col("unit")) != "")
     return _dedup_units(docs, units, max_doc_freq, "\n", id_col)
+
+
+def hash_embed_near_pairs(
+    docs: DataFrame,
+    dim: int = 60,
+    k: int = 3,
+    cos2_bps_min: int = 8100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Semantic near-dup pairs WITHOUT a precomputed embeddings table:
+    text → in-engine feature-hashed embedding (``text.hash_embed``) →
+    sign-pattern fingerprint (bit j = emb[j] > 0 — axis-aligned hyperplane
+    LSH, the SimHash construction over hashed counts) → pigeonhole-banded
+    Hamming join (``hamming_near_pairs``: k+1 contiguous bands, 15-bit
+    bands at dim=60 so random collisions stay rare at corpus scale) →
+    integer-exact squared-cosine verify on the candidates only:
+    ``dot² · 10⁴ ≥ cos2_bps_min · |a|² · |b|²`` with dot > 0 — cosine
+    thresholding with NO floats (both engines agree bit-for-bit; bounds:
+    dot² ≤ |a|²|b|² ≤ n_words⁴ keeps everything inside int64 for docs up
+    to ~50k words at the 10⁴ scale).
+
+    Scale posture: the embedding + fingerprint are map-only Column folds
+    (no explode, no shuffle); the only exchanges are the banded equi-join
+    (candidates ∝ collisions, never O(n²)) and the two broadcast-size id
+    joins pulling the embeddings onto the verified pairs. Zero-norm docs
+    (empty text) are excluded before banding — an all-zero fingerprint
+    would otherwise bucket-collide with every all-negative doc.
+
+    Output: (id_a, id_b, hamming, cos2_bps), id_a < id_b.
+    """
+    from polipus_spark.functions.text import hash_embed
+
+    e = docs.select(
+        F.col(id_col).alias("id"),
+        hash_embed(F.col(text_col), dim).alias("emb"),
+    )
+    # bit j of the fingerprint = sign of component j: fold the REVERSED
+    # array so acc*2 accumulates component 0 into the LSB (dim <= 62 keeps
+    # the fold inside signed int64 under ANSI mode)
+    sig = F.aggregate(
+        F.reverse(F.col("emb")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0),
+    )
+    n2 = F.aggregate(
+        F.col("emb"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+    )
+    s = e.select("id", "emb", sig.alias("sh"), n2.alias("n2")).where(
+        F.col("n2") > 0
+    )
+    cand = hamming_near_pairs(s.select("id", "sh"), n_bits=dim, k=k)
+    a = s.select(F.col("id").alias("id_a"), F.col("emb").alias("_ea"),
+                 F.col("n2").alias("_na2"))
+    b = s.select(F.col("id").alias("id_b"), F.col("emb").alias("_eb"),
+                 F.col("n2").alias("_nb2"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_ea"), F.col("_eb"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("_dot", dot)
+        .where(
+            (F.col("_dot") > 0)
+            & (F.col("_dot") * F.col("_dot") * 10000
+               >= F.lit(cos2_bps_min) * F.col("_na2") * F.col("_nb2"))
+        )
+        .select(
+            "id_a", "id_b", "hamming",
+            F.expr("div(_dot * _dot * 10000, _na2 * _nb2)")
+            .cast("bigint").alias("cos2_bps"),
+        )
+    )

@@ -297,3 +297,37 @@ def lm_quality_score(docs, id_col: str = "doc_id", text_col: str = "text"):
             F.coalesce("sum_lf", F.lit(0)).cast("bigint").alias("sum_lf"),
         )
     )
+
+
+def hash_embed(text: Column, dim: int = 16) -> Column:
+    """Feature-hashing (hashing-trick) document embedding — Weinberger et
+    al. 2009, the sklearn ``HashingVectorizer`` construction — as a pure
+    Column expression: component ``j`` is the signed count of words whose
+    28-bit md5 hash lands in bucket ``j`` (sign from an independent md5
+    nibble, which keeps the estimator unbiased). Produces the in-engine
+    ``array<bigint>`` text embedding the semantic-similarity operators
+    need when no precomputed embeddings table exists.
+
+    Scale posture: map-only — one pass builds (bucket, sign) per word,
+    then ``dim`` integer folds; no explode, no shuffle, no UDF. Values
+    are exact integers, so the DuckDB oracle hash-matches bit-for-bit
+    and downstream dot products / squared norms stay within int64
+    (|component| <= n_words; dot <= dim * n_words^2).
+    """
+    toks = F.transform(
+        words(text),
+        lambda w: F.struct(
+            (F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("bigint")
+             % F.lit(dim)).alias("b"),
+            (F.conv(F.substring(F.md5(w), 8, 1), 16, 10).cast("bigint")
+             % 2 * 2 - 1).alias("s"),
+        ),
+    )
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.aggregate(
+            F.filter(toks, lambda t: t["b"] == j.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t["s"],
+        ),
+    )

@@ -1554,3 +1554,46 @@ def test_hamming_near_pairs_rejects_zero_width_bands(spark):
     sigs = spark.createDataFrame([(1, 3)], "id long, sh long")
     with pytest.raises(ValueError, match="non-empty bands"):
         hamming_near_pairs(sigs, n_bits=2, k=2)
+
+
+def test_hash_embed_components(spark):
+    """hash_embed matches a hand computation of the hashing trick: bucket
+    from md5 chars 1-7, sign from char 8 — component j = signed count."""
+    import hashlib
+
+    from polipus_spark.functions.text import hash_embed
+
+    text = "alpha beta beta Gamma"
+    dim = 8
+    expect = [0] * dim
+    for w in text.lower().split():
+        h = hashlib.md5(w.encode()).hexdigest()
+        b = int(h[:7], 16) % dim
+        s = int(h[7], 16) % 2 * 2 - 1
+        expect[b] += s
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = df.select(hash_embed(F.col("text"), dim).alias("e")).collect()
+    assert got[0]["e"] == expect
+
+    # empty text -> all-zero vector, not nulls
+    empty = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert empty.select(
+        hash_embed(F.col("text"), 4).alias("e")).collect()[0]["e"] == [0] * 4
+
+
+def test_hash_embed_near_pairs_identical_and_zero_norm(spark):
+    """Identical docs pair at hamming 0 / cos2_bps 10000; an unrelated doc
+    stays out; empty (zero-norm) docs are excluded before banding."""
+    from polipus_spark.functions.dedup import hash_embed_near_pairs
+
+    long_a = " ".join(f"word{i} token{i} stuff{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long_a), (2, long_a),
+         (3, " ".join(f"zzz{i} qqq{i} mmm{i}" for i in range(40, 80))),
+         (4, "")],
+        "doc_id long, text string")
+    rows = hash_embed_near_pairs(docs, dim=60, k=3).collect()
+    got = {(r["id_a"], r["id_b"]): (r["hamming"], r["cos2_bps"])
+           for r in rows}
+    assert got[(1, 2)] == (0, 10000)
+    assert all(4 not in pair for pair in got)
