@@ -378,6 +378,39 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText quality rule flags (Rae et al. 2021 A1.1): the
+    standard web-corpus filter as exact integer Column inequalities —
+    map-only, fused into the scan, each rule hash-checked per doc."""
+    from polipus_spark.functions.text import gopher_rules
+
+    d = _docs(spark, sf_dir)
+    r = gopher_rules(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(name) for name, c in r.items()]
+    )
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee et al. 2022 EXACTSUBSTR, distributed: per-doc count of sliding
+    8-word windows whose gram occurs in >= 2 docs — two linear exchanges
+    (gram doc-frequency groupBy + one equi-join back), never pairwise."""
+    from polipus_spark.functions.dedup import duplicated_window_stats
+
+    return duplicated_window_stats(_docs(spark, sf_dir), n=8)
+
+
+def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) in exact fixed-point:
+    target = the English slice, raw = the whole corpus; per-bucket
+    target/raw ratios (<= 256 rows, broadcast) summed over each doc's
+    hashed word counts. weight/n_words ranks docs for resampling."""
+    from polipus_spark.functions.sampling import dsir_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_weights(d, d.where(F.col("lang") == "en"), dim=256)
+
+
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polipus_spark.functions.text import token_count, whitespace_token_count
 
@@ -1760,6 +1793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_near": q_dedup_simhash_near,
         "text_hash_embed": q_text_hash_embed,
         "dedup_hashembed_near": q_dedup_hashembed_near,
+        "text_gopher_rules": q_text_gopher_rules,
+        "dedup_substring": q_dedup_substring,
+        "sample_dsir": q_sample_dsir,
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -3392,6 +3428,109 @@ def oracle_sql() -> dict[str, str]:
           FROM banded l JOIN banded r
             ON l.band = r.band AND l.bits = r.bits AND l.id < r.id
           WHERE bit_count(xor(l.sh, r.sh)) <= 3
+        """,
+        "text_gopher_rules": """
+          WITH f AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w <> '') AS ws,
+                   len(regexp_extract_all(text, '#|\\.\\.\\.')) AS n_sym,
+                   list_filter(string_split(text, chr(10)),
+                               l -> trim(l) <> '') AS lines
+            FROM documents
+          ),
+          g AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+                     AS total_wl,
+                   n_sym,
+                   greatest(len(lines), 1) AS n_lines,
+                   len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '^[-*•]'))) AS n_bullet,
+                   len(list_filter(lines,
+                       l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$')))
+                     AS n_ell,
+                   len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+                     AS n_alpha,
+                   len(list_intersect(list_distinct(ws),
+                       ['the','be','to','of','and','that','have','with']))
+                     AS n_stop
+            FROM f
+          )
+          SELECT doc_id,
+            CAST(n_words BETWEEN 50 AND 100000 AS INT) AS r_word_count,
+            CAST(total_wl >= n_words * 3 AND total_wl <= n_words * 10
+                 AND n_words > 0 AS INT) AS r_mean_word_len,
+            CAST(n_sym * 100 <= n_words * 10 AS INT) AS r_symbol_ratio,
+            CAST(n_bullet * 100 <= n_lines * 90 AS INT) AS r_bullet_lines,
+            CAST(n_ell * 100 <= n_lines * 30 AS INT) AS r_ellipsis_lines,
+            CAST(n_alpha * 100 >= n_words * 80 AS INT) AS r_alpha_words,
+            CAST(n_stop >= 2 AS INT) AS r_stopwords,
+            CAST(n_words BETWEEN 50 AND 100000
+                 AND total_wl >= n_words * 3 AND total_wl <= n_words * 10
+                 AND n_words > 0
+                 AND n_sym * 100 <= n_words * 10
+                 AND n_bullet * 100 <= n_lines * 90
+                 AND n_ell * 100 <= n_lines * 30
+                 AND n_alpha * 100 >= n_words * 80
+                 AND n_stop >= 2 AS INT) AS keep
+          FROM g
+        """,
+        "dedup_substring": """
+          WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+          ),
+          w AS (
+            SELECT doc_id,
+                   CASE WHEN len(ws) >= 8
+                        THEN array_to_string(ws[i.i:i.i+7], ' ')
+                        ELSE array_to_string(ws, ' ') END AS g
+            FROM d, unnest(range(1, greatest(len(ws) - 6, 2))) i(i)
+          ),
+          h AS (SELECT doc_id,
+                       CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                         AS h
+                FROM w),
+          dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+                                 FROM h GROUP BY h)
+                  WHERE df >= 2)
+          SELECT a.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_windows,
+                 CAST(COALESCE(SUM(CASE WHEN dup.h IS NOT NULL
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_dup_windows
+          FROM h a LEFT JOIN dup ON dup.h = a.h
+          GROUP BY a.doc_id
+        """,
+        "sample_dsir": """
+          WITH wb AS (
+            SELECT doc_id AS id, lang,
+                   CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT) % 256
+                     AS b
+            FROM (SELECT doc_id, lang,
+                         unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS w
+                  FROM documents)
+          ),
+          raw AS (SELECT b, count(*) AS raw_n FROM wb GROUP BY b),
+          tgt AS (SELECT b, count(*) AS tgt_n FROM wb WHERE lang = 'en'
+                  GROUP BY b),
+          ratio AS (
+            SELECT raw.b,
+                   CAST(COALESCE(tgt.tgt_n, 0) * 10000 // raw.raw_n
+                        AS BIGINT) AS ratio_bps
+            FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+          ),
+          f AS (SELECT id, b, count(*) AS f FROM wb GROUP BY id, b),
+          w AS (SELECT f.id, SUM(f.f * ratio.ratio_bps) AS weight
+                FROM f JOIN ratio ON ratio.b = f.b GROUP BY f.id)
+          SELECT d.doc_id, CAST(COALESCE(w.weight, 0) AS BIGINT) AS weight
+          FROM documents d LEFT JOIN w ON w.id = d.doc_id
         """,
         "text_hash_embed": hashembed_cte + """
           SELECT d.doc_id,

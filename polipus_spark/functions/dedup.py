@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polipus_spark.functions.text import h60_str, words
+from polipus_spark.functions.text import h60_str, word_ngrams, words
 
 # MinHash arithmetic stays within int64 in BOTH engines (Spark ANSI mode and
 # DuckDB raise on bigint overflow): 28-bit base hashes × 28-bit coefficients
@@ -824,5 +824,57 @@ def hash_embed_near_pairs(
             "id_a", "id_b", "hamming",
             F.expr("div(_dot * _dot * 10000, _na2 * _nb2)")
             .cast("bigint").alias("cos2_bps"),
+        )
+    )
+
+
+def duplicated_window_stats(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-duplication statistics, the distributed form of
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") EXACTSUBSTR: every sliding n-word window of every document is
+    hashed; a window is *duplicated* when its gram occurs in >= 2 distinct
+    documents. Returns ``(doc_id, n_windows, n_dup_windows)`` — the
+    duplicated-window fraction is the caller's exact integer ratio, and a
+    cut at e.g. 50% is the standard "drop the boilerplate-heavy copy" rule.
+
+    Lee et al. build a corpus-wide suffix array (single-machine); the
+    Spark-native equivalent is this windowed explode: shuffle the hashed
+    grams once to count document frequency, then one equi-join back on the
+    gram hash. Both exchanges are linear in total corpus tokens — never
+    pairwise — and the doc-frequency side is pre-aggregated (map-side
+    combine) before it moves. Windows shorter than ``n`` words fall back to
+    the whole document (one window), so short exact dups still count.
+    """
+    wins = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                word_ngrams(F.col(text_col), n), lambda g: h60_str(g)
+            )
+        ).alias("h"),
+    )
+    dup_h = (
+        wins.select("id", "h").distinct()
+        .groupBy("h").agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("h")
+    )
+    per_doc = wins.groupBy("id").agg(F.count("*").alias("n_windows"))
+    dup_per_doc = (
+        wins.join(dup_h, "h", "left_semi")
+        .groupBy("id").agg(F.count("*").alias("n_dup_windows"))
+    )
+    return (
+        per_doc.join(dup_per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("bigint")
+            .alias("n_dup_windows"),
         )
     )

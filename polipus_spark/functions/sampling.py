@@ -53,3 +53,77 @@ def stratified_sample(
     for value, bps in sorted(rates_bps.items()):
         rate = F.when(stratum == F.lit(value), F.lit(bps)).otherwise(rate)
     return df.where(hash_bps(F.col(id_col), salt) < rate)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    dim: int = 256,
+    scale: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed-feature importance weights for data selection — the integer
+    form of DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"). Every word hashes into one of ``dim`` buckets
+    (the same 28-bit-md5 bucketing as ``text.hash_embed``); the target
+    corpus and the raw corpus each induce a bucket-count distribution, and
+    a document's weight is
+
+        weight = Σ_b f_doc[b] · (target_count[b] · scale) // raw_count[b]
+
+    — per-bucket target/raw ratios in fixed-point basis points instead of
+    DSIR's log-likelihood ratio, so the whole computation is exact int64
+    and the DuckDB oracle hash-matches. Ranking by ``weight / n_words``
+    (caller-side exact ratio) then keeping top-k IS importance resampling
+    with a hard cut. ``raw_count[b] >= f_doc[b] > 0`` for every bucket a
+    document touches, so the division is always defined.
+
+    Scale posture: the two distribution tables are <= ``dim`` rows however
+    big the corpora are (map-side-combined aggregations over the hashed
+    explode), so the ratio table BROADCASTS onto the per-doc bucket counts;
+    the only data-sized exchange is the per-(id, bucket) combine. Linear
+    end to end, no pairwise anything.
+    """
+    def _buckets(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.transform(
+                    F.filter(
+                        F.split(F.lower(F.col(text_col)), r"\s+"),
+                        lambda w: w != "",
+                    ),
+                    lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10)
+                    .cast("bigint") % F.lit(dim),
+                )
+            ).alias("b"),
+        )
+
+    raw_counts = (
+        _buckets(docs).groupBy("b").agg(F.count("*").alias("raw_n"))
+    )
+    target_counts = (
+        _buckets(target).groupBy("b").agg(F.count("*").alias("tgt_n"))
+    )
+    ratio = (
+        raw_counts.join(target_counts, "b", "left")
+        .select(
+            "b",
+            F.expr(f"div(coalesce(tgt_n, 0) * {scale}, raw_n)")
+            .cast("bigint").alias("ratio_bps"),
+        )
+    )
+    doc_b = _buckets(docs).groupBy("id", "b").agg(F.count("*").alias("f"))
+    return (
+        doc_b.join(F.broadcast(ratio), "b")
+        .groupBy("id")
+        .agg(F.sum(F.col("f") * F.col("ratio_bps")).alias("weight"))
+        .join(
+            docs.select(F.col(id_col).alias("id")), "id", "right"
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
+        )
+    )

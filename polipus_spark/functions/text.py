@@ -331,3 +331,98 @@ def hash_embed(text: Column, dim: int = 16) -> Column:
             lambda acc, t: acc + t["s"],
         ),
     )
+
+
+# ---------------------------------------------------------- Gopher filtering
+
+# The MassiveText stop-word rule set (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1): a kept document contains >= 2 of these.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_pct: int = 10,
+    max_bullet_line_pct: int = 90,
+    max_ellipsis_line_pct: int = 30,
+    min_alpha_word_pct: int = 80,
+    min_stopwords: int = 2,
+) -> dict[str, Column]:
+    """The Gopher/MassiveText repetition-free quality rules (Rae et al.
+    2021 appendix A1.1) as integer Column flags — the de-facto standard
+    web-corpus filter (reused by RefinedWeb, Dolma, FineWeb). Each rule is
+    an exact integer inequality (ratios cross-multiplied, never floats) so
+    the DuckDB oracle hash-matches bit-for-bit:
+
+    * ``r_word_count``      — ``min_words <= n_words <= max_words``;
+    * ``r_mean_word_len``   — mean word length in [3, 10]:
+      ``min*n_words <= total_word_len <= max*n_words``;
+    * ``r_symbol_ratio``    — '#' or '...' per word <= 0.1;
+    * ``r_bullet_lines``    — <= 90% of lines start with a bullet;
+    * ``r_ellipsis_lines``  — <= 30% of lines end with '...'/'…';
+    * ``r_alpha_words``     — >= 80% of words contain a letter;
+    * ``r_stopwords``       — >= ``min_stopwords`` distinct stop words;
+    * ``keep``              — AND of all rules.
+
+    Scale posture: pure Column folds over the words/lines arrays — map-only,
+    whole-stage codegen, no explode, no shuffle, no UDF; fused into the
+    parquet scan alongside the rest of the quality stage.
+    """
+    ws = words(text)
+    n_words = F.size(ws).cast("bigint")
+    total_wl = F.aggregate(
+        ws, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w)
+    )
+    n_sym = (
+        F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0))
+        .cast("bigint")
+    )
+    lines = F.filter(F.split(text, "\n"), lambda l: F.trim(l) != "")
+    n_lines = F.greatest(F.size(lines).cast("bigint"), F.lit(1))
+    n_bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    ).cast("bigint")
+    n_ell = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    ).cast("bigint")
+    n_alpha = F.size(
+        F.filter(ws, lambda w: w.rlike(r"[a-z]"))
+    ).cast("bigint")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(ws),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+
+    def _i(c: Column) -> Column:
+        return F.when(c, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+    r = {
+        "r_word_count": _i(
+            (n_words >= min_words) & (n_words <= max_words)
+        ),
+        "r_mean_word_len": _i(
+            (total_wl >= n_words * min_mean_word_len)
+            & (total_wl <= n_words * max_mean_word_len)
+            & (n_words > 0)
+        ),
+        "r_symbol_ratio": _i(n_sym * 100 <= n_words * max_symbol_word_pct),
+        "r_bullet_lines": _i(
+            n_bullet * 100 <= n_lines * max_bullet_line_pct
+        ),
+        "r_ellipsis_lines": _i(
+            n_ell * 100 <= n_lines * max_ellipsis_line_pct
+        ),
+        "r_alpha_words": _i(n_alpha * 100 >= n_words * min_alpha_word_pct),
+        "r_stopwords": _i(n_stop >= min_stopwords),
+    }
+    keep = F.lit(True)
+    for flag in r.values():
+        keep = keep & (flag == 1)
+    r["keep"] = _i(keep)
+    return r

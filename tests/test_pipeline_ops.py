@@ -1597,3 +1597,97 @@ def test_hash_embed_near_pairs_identical_and_zero_norm(spark):
            for r in rows}
     assert got[(1, 2)] == (0, 10000)
     assert all(4 not in pair for pair in got)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One doc per rule violation plus one clean keeper; flags are exact
+    integer inequalities matching Rae et al. 2021 A1.1."""
+    from polipus_spark.functions.text import gopher_rules
+
+    good = " ".join(
+        "the quick brown fox jumps over that lazy dog with vigor"
+        .split() * 6)  # 60 words, mean len ~4, stopwords the/that/with
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too short with the words"),                  # word count
+            (3, " ".join(["extraordinarily"] * 60)),          # mean len > 10
+            (4, good + " " + "#" * 1 + " #" * 20),            # symbols
+            (5, "\n".join(["- bullet point here"] * 10)),     # bullets
+            (6, "\n".join([good, "trailing thought..."] * 9)  # ellipsis>30%
+             .replace(good, good, 1)),
+            (7, " ".join(["1234"] * 60)),                     # alpha < 80%
+            (8, " ".join(["banana"] * 60)),                   # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    r = gopher_rules(F.col("text"))
+    rows = {row["doc_id"]: row for row in docs.select(
+        "doc_id", *[c.alias(n) for n, c in r.items()]).collect()}
+    assert rows[1]["keep"] == 1
+    assert rows[2]["r_word_count"] == 0 and rows[2]["keep"] == 0
+    assert rows[3]["r_mean_word_len"] == 0
+    assert rows[4]["r_symbol_ratio"] == 0
+    assert rows[5]["r_bullet_lines"] == 0
+    assert rows[7]["r_alpha_words"] == 0
+    assert rows[8]["r_stopwords"] == 0 and rows[8]["keep"] == 0
+
+
+def test_gopher_rules_ellipsis_lines(spark):
+    from polipus_spark.functions.text import gopher_rules
+
+    text = "\n".join(["first line..."] * 4 + ["plain line"] * 6)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_rules(F.col("text"))
+    row = df.select(r["r_ellipsis_lines"].alias("e")).collect()[0]
+    assert row["e"] == 0  # 40% > 30%
+
+
+def test_duplicated_window_stats_hand_case(spark):
+    """n=3 windows: docs 1 and 2 share exactly the gram 'a b c'; doc 3 is
+    shorter than n so its single whole-text window is unique."""
+    from polipus_spark.functions.dedup import duplicated_window_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y a b c"), (3, "q r")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in duplicated_window_stats(docs, n=3).collect()}
+    assert got == {1: (2, 1), 2: (3, 1), 3: (1, 0)}
+
+
+def test_dsir_weights_hand_case(spark):
+    """Weights match a hashlib replay of the fixed-point DSIR ratio sum;
+    a doc with no target-overlapping buckets gets weight 0 only when the
+    ratio for its buckets is 0."""
+    import hashlib
+
+    from polipus_spark.functions.sampling import dsir_weights
+
+    dim, scale = 8, 10_000
+    texts = {1: "aa bb aa", 2: "aa cc", 3: ""}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string")
+    target = docs.where(F.col("doc_id") == 1)
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:7], 16) % dim
+
+    raw, tgt = {}, {}
+    for did, t in texts.items():
+        for w in t.lower().split():
+            raw[bucket(w)] = raw.get(bucket(w), 0) + 1
+            if did == 1:
+                tgt[bucket(w)] = tgt.get(bucket(w), 0) + 1
+    expect = {}
+    for did, t in texts.items():
+        f = {}
+        for w in t.lower().split():
+            f[bucket(w)] = f.get(bucket(w), 0) + 1
+        expect[did] = sum(
+            n * (tgt.get(b, 0) * scale // raw[b]) for b, n in f.items())
+    got = {r["doc_id"]: r["weight"]
+           for r in dsir_weights(docs, target, dim=dim).collect()}
+    assert got == expect
+    assert got[3] == 0  # empty doc: right-join keeps it at weight 0
