@@ -189,6 +189,19 @@ def main() -> None:
         "ONE window partitioned by component (near-dup components are "
         "tiny dense cliques — no partition skew) ordered by a pure-"
         "Column quality feature.",
+        "text_gopher_rules": "Gopher quality rules (r5): every flag is a "
+        "pure Column inequality — ONE ProjectExec fused into the parquet "
+        "scan inside WholeStageCodegen, zero exchanges.",
+        "dedup_substring": "EXACTSUBSTR window dedup (r5): exploded gram "
+        "hashes partial-aggregate map-side before the doc-frequency "
+        "shuffle; the dup-hash join back is a plain equi-join on the "
+        "60-bit key — both exchanges linear in corpus tokens.",
+        "sample_dsir": "DSIR importance weights (r5): the ratio table is "
+        "<= dim rows (broadcast hash join onto per-doc bucket counts); "
+        "the only data-sized exchange is the (id, bucket) combine.",
+        "dedup_hashembed_near": "embedding-free semantic near-dup (r5): "
+        "map-only hash_embed folds + sign fingerprint, banded equi-join "
+        "candidates, integer cosine verify — no model pass, no n².",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
