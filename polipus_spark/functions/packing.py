@@ -94,9 +94,15 @@ def packing_efficiency(packed: DataFrame, budget: int = 256) -> DataFrame:
     """(n_sequences, total_words, fill_pct): padding-waste report —
     fill_pct = 100·total_words / (n_sequences·budget)."""
     seqs = packed.groupBy("seq_id").agg(F.sum("n_words").alias("w"))
+    # coalesce the empty-input case: zero sequences → sums are NULL and the
+    # fill ratio divides 0/0 — report exact zeros instead (an empty corpus
+    # packed is 0 sequences at 0% fill, not a crash downstream)
     return seqs.agg(
         F.count("*").alias("n_sequences"),
-        F.sum("w").cast("bigint").alias("total_words"),
-        (F.sum(F.least(F.col("w"), F.lit(budget))) * 100 /
-         (F.count("*") * budget)).cast("int").alias("fill_pct"),
+        F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("total_words"),
+        F.coalesce(
+            (F.sum(F.least(F.col("w"), F.lit(budget))) * 100 /
+             (F.count("*") * budget)).cast("int"),
+            F.lit(0),
+        ).alias("fill_pct"),
     )

@@ -5,15 +5,21 @@ Chains the repo's individually-oracled operators in the order a real
 first so expensive stages see the fewest rows:
 
   1. quality gate        (map-only Column filter)
-  2. repetition gate     (map-only Column filter)
-  3. language mixing     (map-only deterministic sample)
-  4. decontamination     (broadcast semi-join vs the benchmark)
-  5. store probe         (optional: near-dups of a PERSISTED minhash
+  2. Gopher rules        (optional: the Rae et al. 2021 A1.1 flag set,
+                          map-only Column filter)
+  3. repetition gate     (map-only Column filter)
+  4. language mixing     (map-only deterministic sample)
+  5. decontamination     (broadcast semi-join vs the benchmark)
+  6. DSIR selection      (optional: fixed-point importance weights vs a
+                          target corpus — broadcast ratio table + filter)
+  7. store probe         (optional: near-dups of a PERSISTED minhash
                           store die — a re-run curates only the new batch)
-  6. fuzzy dedup         (exact → LSH → Jaccard → components)
-  7. semantic dedup      (optional: SemDeDup within-cluster cosine over an
+  8. fuzzy dedup         (exact → LSH → Jaccard → components)
+  9. substring dedup     (optional: EXACTSUBSTR — drop docs whose
+                          duplicated-window share exceeds the cut)
+ 10. semantic dedup      (optional: SemDeDup within-cluster cosine over an
                           embeddings table, min-id survivor)
-  8. span dedup          (optional: corpus-wide repeated-window removal)
+ 11. span dedup          (optional: corpus-wide repeated-window removal)
 
 Every stage is lazy; ``curation_report`` materializes the per-stage
 survivor counts as ONE DataFrame (one job), not a driver loop of counts.
@@ -41,10 +47,17 @@ def curate_corpus(
     benchmark: DataFrame | None = None,
     *,
     quality: bool = True,
+    gopher: bool = False,
+    gopher_opts: dict | None = None,
     max_dup_pct: int = 30,
     lang_rates_bps: dict[str, int] | None = None,
     default_bps: int = 10_000,
     decontam_ngram: int = 8,
+    dsir_target: DataFrame | None = None,
+    dsir_min_ratio: int = 0,
+    dsir_dim: int = 256,
+    substring_dup_pct: int | None = None,
+    substring_n: int = 8,
     jaccard_pct: int = 70,
     survivor: str = "min_id",
     span_dedup_words: int | None = None,
@@ -71,6 +84,16 @@ def curate_corpus(
     (stages are lazy); append survivors afterwards with
     ``dedup.build_minhash_store(curated, store_dir, mode="append")``.
 
+    ``gopher`` adds the full Rae et al. 2021 A1.1 rule set after the basic
+    quality gate (map-only, fused into the same scan). ``dsir_target``
+    enables DSIR importance selection: docs whose mean per-word
+    target/raw bucket ratio (``sampling.dsir_weights``, fixed-point bps)
+    falls below ``dsir_min_ratio`` die — the "select data that looks like
+    the target domain" stage. ``substring_dup_pct`` enables the
+    EXACTSUBSTR cut: docs whose duplicated ``substring_n``-word-window
+    share exceeds the percentage die (boilerplate-heavy copies that
+    whole-doc dedup keeps).
+
     ``embeddings`` + ``semantic_threshold`` enable SemDeDup: within-cluster
     cosine pairs above the threshold (``similarity.semantic_dedup_pairs``,
     auto-K with hot-cluster LSH fallback) drop the larger id. Docs with no
@@ -81,6 +104,15 @@ def curate_corpus(
     if quality:
         d = d.where(quality_class(t) == "keep")
         stages["quality"] = d
+    if gopher:
+        from polipus_spark.functions.text import gopher_rules
+
+        # gopher_opts forwards threshold overrides (min_words,
+        # min_stopwords, ...) — the published defaults target real web
+        # text; domain corpora tune them (e.g. the synthetic test tables
+        # contain no English stop words at all).
+        d = d.where(gopher_rules(t, **(gopher_opts or {}))["keep"] == 1)
+        stages["gopher"] = d
     if max_dup_pct is not None:
         d = d.where(repetition_class(t, max_dup_pct=max_dup_pct) == "keep")
         stages["repetition"] = d
@@ -94,6 +126,22 @@ def curate_corpus(
         d = decontaminate(d, benchmark, n=decontam_ngram,
                           id_col=id_col, text_col=text_col)
         stages["decontaminated"] = d
+    if dsir_target is not None:
+        from polipus_spark.functions.sampling import dsir_weights
+
+        # keep docs whose mean per-word target/raw ratio clears the floor:
+        # weight >= n_words * dsir_min_ratio (both sides exact integers).
+        # The weights frame is (id, weight); n_words recomputes map-side.
+        w = dsir_weights(d, dsir_target, dim=dsir_dim,
+                         id_col=id_col, text_col=text_col)
+        n_words = F.size(F.filter(
+            F.split(F.lower(t), r"\s+"), lambda x: x != ""))
+        d = (
+            d.join(w, id_col)
+            .where(F.col("weight") >= n_words.cast("bigint") * dsir_min_ratio)
+            .drop("weight")
+        )
+        stages["dsir_selected"] = d
     if minhash_store_dir is not None:
         from polipus_spark.functions.dedup import incremental_dedup_pairs
 
@@ -110,6 +158,20 @@ def curate_corpus(
     d = fuzzy_dedup(d, id_col=id_col, text_col=text_col,
                     jaccard_pct=jaccard_pct, survivor=survivor)
     stages["deduped"] = d
+    if substring_dup_pct is not None:
+        from polipus_spark.functions.dedup import duplicated_window_stats
+
+        # EXACTSUBSTR cut (Lee et al. 2022): drop docs whose duplicated
+        # n-word-window share exceeds the threshold — boilerplate-heavy
+        # copies that survive whole-doc dedup. Exact integer ratio.
+        stats = duplicated_window_stats(d, n=substring_n,
+                                        id_col=id_col, text_col=text_col)
+        keep_ids = stats.where(
+            F.col("n_dup_windows") * 100
+            <= F.col("n_windows") * substring_dup_pct
+        ).select(id_col)
+        d = d.join(keep_ids, id_col, "left_semi")
+        stages["substring_deduped"] = d
     if embeddings is not None and semantic_threshold is not None:
         from polipus_spark.functions.similarity import semantic_dedup_pairs
 

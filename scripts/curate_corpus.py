@@ -42,7 +42,21 @@ def main() -> None:
     p.add_argument("--out", required=True, help="output directory")
     p.add_argument("--benchmark", default=None, help="parquet path of the eval set to decontaminate against")
     p.add_argument("--no-quality", action="store_true")
+    p.add_argument("--gopher", action="store_true",
+                   help="apply the Gopher/MassiveText A1.1 rule set")
+    p.add_argument("--gopher-min-stopwords", type=int, default=2,
+                   help="distinct stop-word floor (0 disables the rule "
+                        "for corpora without English function words)")
     p.add_argument("--max-dup-pct", type=int, default=30)
+    p.add_argument("--dsir-target", default=None,
+                   help="parquet path of the target-domain docs; enables "
+                        "DSIR importance selection")
+    p.add_argument("--dsir-min-ratio", type=int, default=10_000,
+                   help="min mean per-word target/raw ratio in bps "
+                        "(10000 = at least as target-like as the raw mix)")
+    p.add_argument("--substring-dup-pct", type=int, default=None,
+                   help="drop docs with more than this %% of duplicated "
+                        "8-word windows (EXACTSUBSTR cut)")
     p.add_argument("--lang-rates", default=None, help="per-language bps, e.g. en=2500,de=7500")
     p.add_argument("--default-bps", type=int, default=10_000)
     p.add_argument("--jaccard-pct", type=int, default=70)
@@ -78,7 +92,13 @@ def main() -> None:
     curated, stages = curate_corpus(
         docs, bench,
         quality=not args.no_quality,
+        gopher=args.gopher,
+        gopher_opts={"min_stopwords": args.gopher_min_stopwords},
         max_dup_pct=args.max_dup_pct,
+        dsir_target=(spark.read.parquet(args.dsir_target)
+                     if args.dsir_target else None),
+        dsir_min_ratio=args.dsir_min_ratio,
+        substring_dup_pct=args.substring_dup_pct,
         lang_rates_bps=_parse_rates(args.lang_rates),
         default_bps=args.default_bps,
         jaccard_pct=args.jaccard_pct,

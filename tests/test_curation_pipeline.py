@@ -190,3 +190,78 @@ def test_curate_with_span_dedup_stage(spark):
     for t in got.values():
         assert "alpha" not in t          # shared span removed
         assert len(t.split()) > 0        # unique tail kept
+
+
+def test_curate_with_gopher_stage(spark):
+    """A doc that clears the basic quality gate (>=20 words) but fails the
+    Gopher word-count floor (50) dies only when gopher=True."""
+    from polipus_spark.pipeline import curate_corpus
+
+    long_good = (
+        "the quick brown fox jumps over that lazy dog and runs far away "
+        "with great speed to find more food near the wide river where "
+        "many other animals gather every morning before sunrise while "
+        "birds sing loud songs from tall trees and fishermen cast long "
+        "lines into deep water hoping to catch something worth keeping "
+        "for dinner tonight under bright stars"
+    )  # ~60 distinct-bigram words, stopword-rich
+    mid = ("the small dog and the tall cat have walked to town with all "
+           "of that fresh food they found beside the old mill today")  # ~24
+    docs = spark.createDataFrame(
+        [(1, long_good), (2, mid)], "doc_id bigint, text string")
+
+    final_off, _ = curate_corpus(docs)
+    assert sorted(r["doc_id"] for r in final_off.collect()) == [1, 2]
+
+    final_on, stages = curate_corpus(docs, gopher=True)
+    assert [r["doc_id"] for r in final_on.collect()] == [1]
+    assert stages["gopher"].count() == 1
+
+
+def test_curate_with_dsir_stage(spark):
+    """Target-domain vocabulary keeps a doc; disjoint vocabulary (bucket
+    sets verified disjoint at dim=256 by construction) drives its weight to
+    zero and the DSIR floor kills it. Other stages off/neutral."""
+    from polipus_spark.pipeline import curate_corpus
+
+    a_words = ("apple river cloud stone music garden yellow window "
+               "travel silver")
+    b_words = ("quantum nebula cipher vortex ember lattice python marble "
+               "falcon orchid")
+    docs = spark.createDataFrame(
+        [(1, " ".join([a_words] * 3)), (2, " ".join([b_words] * 3))],
+        "doc_id bigint, text string")
+    target = docs.where(F.col("doc_id") == 1)
+
+    final, stages = curate_corpus(
+        docs, quality=False, max_dup_pct=None,
+        dsir_target=target, dsir_min_ratio=5000,
+    )
+    # doc 1's buckets are pure target (ratio 10000 >= 5000 floor per word);
+    # doc 2 shares no bucket with the target, weight 0
+    assert [r["doc_id"] for r in stages["dsir_selected"].collect()] == [1]
+    assert [r["doc_id"] for r in final.collect()] == [1]
+
+
+def test_curate_with_substring_dedup_stage(spark):
+    """Two docs sharing a 16-word run (below the 70% Jaccard whole-doc cut,
+    so fuzzy dedup keeps both) both exceed a 50% duplicated-window share
+    and die at the EXACTSUBSTR stage; a clean doc survives."""
+    from polipus_spark.pipeline import curate_corpus
+
+    shared = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+              "juliet kilo lima mike november oscar papa")
+    p1 = shared + " red green blue white"
+    p2 = shared + " cobalt amber jade pearl"
+    clean = ("totally different words describing another topic entirely "
+             "with no overlap against those phonetic alphabet sequences "
+             "whatsoever in any window")
+    docs = spark.createDataFrame(
+        [(1, p1), (2, p2), (3, clean)], "doc_id bigint, text string")
+
+    final, stages = curate_corpus(
+        docs, quality=False, max_dup_pct=None, substring_dup_pct=50,
+    )
+    assert stages["deduped"].count() == 3  # fuzzy dedup keeps all three
+    assert [r["doc_id"] for r in final.collect()] == [3]
+    assert "substring_deduped" in stages

@@ -56,3 +56,20 @@ def test_pack_from_chunk_docs_and_efficiency(spark):
     eff = packing_efficiency(packed, budget=256).collect()[0]
     assert eff["n_sequences"] > 0
     assert 50 <= eff["fill_pct"] <= 100  # greedy should fill reasonably
+
+
+def test_packing_efficiency_empty_input(spark):
+    """An empty packed frame reports exact zeros, not NULLs — a fully
+    filtered-away corpus must not crash the curation script's report."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from polipus_spark.functions.packing import (
+        pack_sequences, packing_efficiency,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, chunk_id int, text string, n_words int")
+    row = packing_efficiency(
+        pack_sequences(empty, budget=256), budget=256).collect()[0]
+    assert (row["n_sequences"], row["total_words"], row["fill_pct"]) \
+        == (0, 0, 0)
