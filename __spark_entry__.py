@@ -400,6 +400,16 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_window_stats(_docs(spark, sf_dir), n=8)
 
 
+def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACTSUBSTR transform (Lee et al. 2022): words covered by any
+    duplicated 8-word window are removed and the doc rebuilt in order —
+    the scrub companion to dedup_substring's stats. Linear exchanges
+    only; rebuild is an array_sort(collect_list) per doc id."""
+    from polipus_spark.functions.dedup import remove_duplicated_windows
+
+    return remove_duplicated_windows(_docs(spark, sf_dir), n=8)
+
+
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) in exact fixed-point:
     target = the English slice, raw = the whole corpus; per-bucket
@@ -1795,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_hashembed_near": q_dedup_hashembed_near,
         "text_gopher_rules": q_text_gopher_rules,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_scrub": q_dedup_substring_scrub,
         "sample_dsir": q_sample_dsir,
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -3505,6 +3516,48 @@ def oracle_sql() -> dict[str, str]:
                    AS n_dup_windows
           FROM h a LEFT JOIN dup ON dup.h = a.h
           GROUP BY a.doc_id
+        """,
+        "dedup_substring_scrub": """
+          WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+          ),
+          w AS (
+            SELECT doc_id, i.i AS pos,
+                   CASE WHEN len(ws) >= 8
+                        THEN array_to_string(ws[i.i:i.i+7], ' ')
+                        ELSE array_to_string(ws, ' ') END AS g
+            FROM d, unnest(range(1, greatest(len(ws) - 6, 2))) i(i)
+          ),
+          h AS (SELECT doc_id, pos,
+                       CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)
+                         AS h
+                FROM w),
+          dup AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+                                 FROM h GROUP BY h)
+                  WHERE df >= 2),
+          cov AS (SELECT DISTINCT doc_id, pos + j.j AS wpos
+                  FROM h JOIN dup USING (h),
+                       unnest(range(0, 8)) j(j)),
+          dw AS (SELECT doc_id, j.j AS wpos, ws[j.j] AS w
+                 FROM d, unnest(range(1, len(ws) + 1)) j(j)),
+          kept AS (
+            SELECT dw.doc_id, dw.wpos, dw.w
+            FROM dw LEFT JOIN cov
+              ON cov.doc_id = dw.doc_id AND cov.wpos = dw.wpos
+            WHERE cov.wpos IS NULL
+          ),
+          reb AS (SELECT doc_id,
+                         string_agg(w, ' ' ORDER BY wpos) AS clean,
+                         count(*) AS n_kept
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id,
+                 COALESCE(reb.clean, '') AS text,
+                 CAST(len(d.ws) - COALESCE(reb.n_kept, 0) AS BIGINT)
+                   AS n_removed_words
+          FROM d LEFT JOIN reb USING (doc_id)
         """,
         "sample_dsir": """
           WITH wb AS (

@@ -320,6 +320,10 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         # r5 second batch: tokenizer application (train + segment) and
         # quality-aware near-dup survivor selection
         "text_bpe_segment", "dedup_keep_best", "dedup_media_phash",
+        # r5 third batch: embedding-free semantic near-dup, Gopher rules,
+        # EXACTSUBSTR window dedup, DSIR importance weights
+        "dedup_hashembed_near", "text_gopher_rules", "dedup_substring",
+        "dedup_substring_scrub", "sample_dsir",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

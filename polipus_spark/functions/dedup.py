@@ -878,3 +878,78 @@ def duplicated_window_stats(
             .alias("n_dup_windows"),
         )
     )
+
+
+def remove_duplicated_windows(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The EXACTSUBSTR *transform* (Lee et al. 2022 remove duplicated
+    substrings — :func:`duplicated_window_stats` is the stats half): every
+    word position covered by ANY duplicated n-word window is dropped and
+    the document is rebuilt from the surviving words (original order,
+    single-space joined). Returns ``(doc_id, text, n_removed_words)`` for
+    every input doc — text empty when everything was duplicated.
+
+    Dataflow: windows → gram-hash doc-frequency (one linear groupBy) →
+    duplicated windows join back (equi-join on the 60-bit hash) → covered
+    word-position explode (≤ n rows per duplicated window) → anti-join on
+    (id, word position) → ordered rebuild via array_sort(collect_list).
+    Every exchange is linear in corpus tokens; the rebuild groupBy keys on
+    the doc id, so partial aggregation keeps the shuffle narrow.
+
+    Documents shorter than ``n`` words fall back to one whole-doc window
+    (matching the stats function): an exact short dup scrubs to empty.
+    """
+    ws = words(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(word_ngrams(F.col(text_col), n), h60_str)
+        ).alias("pos", "h"),
+    )
+    dup_h = (
+        base.select("id", "h").distinct()
+        .groupBy("h").agg(F.count("*").alias("_df"))
+        .where(F.col("_df") >= 2)
+        .select("h")
+    )
+    covered = (
+        base.join(dup_h, "h", "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos") + 1, F.col("pos") + n)
+            ).alias("wpos"),
+        )
+        .distinct()
+    )
+    doc_words = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(ws).alias("wpos0", "w"),
+    ).select("id", (F.col("wpos0") + 1).alias("wpos"), "w")
+    kept = doc_words.join(covered, ["id", "wpos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("_clean"),
+        F.count("*").alias("_n_kept"),
+    )
+    n_words = docs.select(
+        F.col(id_col).alias("id"), F.size(ws).cast("bigint").alias("_nw")
+    )
+    return (
+        n_words.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_clean", F.lit("")).alias(text_col),
+            (F.col("_nw") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("bigint").alias("n_removed_words"),
+        )
+    )

@@ -1691,3 +1691,23 @@ def test_dsir_weights_hand_case(spark):
            for r in dsir_weights(docs, target, dim=dim).collect()}
     assert got == expect
     assert got[3] == 0  # empty doc: right-join keeps it at weight 0
+
+
+def test_remove_duplicated_windows_hand_case(spark):
+    """Docs 1/2 share the gram 'a b c' (n=3): its covered positions are
+    scrubbed from both, a clean doc passes through untouched, and full
+    coverage scrubs to empty text."""
+    from polipus_spark.functions.dedup import remove_duplicated_windows
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "z a b c q"), (3, "unique words only"),
+         (4, "a b c"), (5, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["text"], r["n_removed_words"])
+           for r in remove_duplicated_windows(docs, n=3).collect()}
+    assert got[1] == ("d e", 3)
+    assert got[2] == ("z q", 3)
+    assert got[3] == ("unique words only", 0)
+    # 4 and 5 are whole-doc dups (3 words = one window): scrub to empty
+    assert got[4] == ("", 3) and got[5] == ("", 3)
