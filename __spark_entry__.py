@@ -1619,6 +1619,27 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse-windowFunnel-style funnel depth per user: view → click →
+    purchase inside a 2-day window anchored at the first view. ONE shuffle
+    (groupBy user) + a Column fold over the sorted event array — no
+    per-step self-joins. Oracle = the equivalent min-chain k-join SQL."""
+    from polipus_spark.operators.funnel import funnel_levels
+
+    return funnel_levels(
+        _events(spark, sf_dir), ["view", "click", "purchase"],
+        window_sec=2 * 86400)
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: (cohort week of first event, week
+    offset, distinct users). Two combiner-shrunk aggregations + one
+    user-keyed equi-join; integer-exact offsets."""
+    from polipus_spark.operators.funnel import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir))
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session ids per user (lag + cumsum)."""
     e = _events(spark, sf_dir)
@@ -1807,6 +1828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "dedup_substring_scrub": q_dedup_substring_scrub,
         "sample_dsir": q_sample_dsir,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -3516,6 +3539,42 @@ def oracle_sql() -> dict[str, str]:
                    AS n_dup_windows
           FROM h a LEFT JOIN dup ON dup.h = a.h
           GROUP BY a.doc_id
+        """,
+        "events_funnel": """
+          WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us
+            FROM events
+          ),
+          s1 AS (SELECT user_id, min(us) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, min(us) AS t2
+                 FROM e JOIN s1 USING (user_id)
+                 WHERE event_type = 'click'
+                   AND us > s1.t1 AND us <= s1.t1 + 172800000000
+                 GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, min(us) AS t3
+                 FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                 WHERE event_type = 'purchase'
+                   AND us > s2.t2 AND us <= s1.t1 + 172800000000
+                 GROUP BY e.user_id)
+          SELECT s1.user_id,
+                 CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                        + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                      AS INT) AS level,
+                 CAST(s1.t1 AS BIGINT) AS t1_us
+          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "events_retention": """
+          WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                     FROM events GROUP BY user_id),
+          a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw
+                FROM events)
+          SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+                 CAST(date_diff('day', f.cw, a.aw) // 7 AS INT)
+                   AS week_offset,
+                 CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+          FROM a JOIN f USING (user_id)
+          GROUP BY 1, 2
         """,
         "dedup_substring_scrub": """
           WITH d AS (

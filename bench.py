@@ -324,6 +324,8 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         # EXACTSUBSTR window dedup, DSIR importance weights
         "dedup_hashembed_near", "text_gopher_rules", "dedup_substring",
         "dedup_substring_scrub", "sample_dsir",
+        # r5 fourth batch: funnel + retention event analytics
+        "events_funnel", "events_retention",
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

@@ -1711,3 +1711,62 @@ def test_remove_duplicated_windows_hand_case(spark):
     assert got[3] == ("unique words only", 0)
     # 4 and 5 are whole-doc dups (3 words = one window): scrub to empty
     assert got[4] == ("", 3) and got[5] == ("", 3)
+
+
+def test_funnel_levels_hand_case(spark):
+    """Greedy chain semantics: window anchored at the FIRST step-0 event;
+    out-of-window and out-of-order steps don't extend; a step-1 event at
+    the exact anchor timestamp doesn't count (strictly later)."""
+    from polipus_spark.operators.funnel import funnel_levels
+
+    rows = [
+        # u1: full chain inside the window
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:10:00", "click"),
+        (3, 1, "2024-01-01 00:20:00", "purchase"),
+        # u2: click lands outside the 1h window -> level 1
+        (4, 2, "2024-01-01 00:00:00", "view"),
+        (5, 2, "2024-01-01 02:00:00", "click"),
+        # u3: purchase BEFORE click -> level 2 only
+        (6, 3, "2024-01-01 00:00:00", "view"),
+        (7, 3, "2024-01-01 00:05:00", "purchase"),
+        (8, 3, "2024-01-01 00:30:00", "click"),
+        # u4: click at the same instant as the anchor view -> not strictly
+        # later -> level 1
+        (9, 4, "2024-01-01 00:00:00", "view"),
+        (10, 4, "2024-01-01 00:00:00", "click"),
+        # u5: no view at all -> absent from the output
+        (11, 5, "2024-01-01 00:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, u, ts, et) for i, u, ts, et in rows],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["user_id"]: r["level"]
+           for r in funnel_levels(
+               ev, ["view", "click", "purchase"], window_sec=3600
+           ).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 4: 1}
+
+
+def test_retention_cohorts_hand_case(spark):
+    """Two users joining in week 0, one active again in week 1; a week-1
+    joiner counts only in their own cohort."""
+    from polipus_spark.operators.funnel import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00"),   # Monday, week 0
+            (2, 2, "2024-01-03 10:00:00"),   # week 0
+            (3, 1, "2024-01-09 10:00:00"),   # week 1 activity
+            (4, 3, "2024-01-10 10:00:00"),   # joins in week 1
+        ],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["cohort_week"], r["week_offset"]): r["n_users"]
+           for r in retention_cohorts(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-08", 0): 1,
+    }
