@@ -1619,6 +1619,31 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL pattern mining over the crawl's stored pages (r5): collapse
+    numeric path segments to a template (digits → N) and roll up per
+    (host, template) — the "site structure" query a crawl operator runs
+    to find pagination families and crawler traps. Map-only template
+    derivation fused into the scan + ONE narrow-key groupBy. Oracle:
+    simulator page set as VALUES; DuckDB re-derives host/path/template
+    with its own regexp engine (cross-check, not replay)."""
+    from polipus_spark.functions.urls import url_host, url_path_template
+
+    pages = _entry_crawl_session(spark).pages_df()
+    return (
+        pages.select(
+            url_host(F.col("url")).alias("host"),
+            url_path_template(F.col("url")).alias("template"),
+            F.col("depth"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pages"),
+            F.min("depth").cast("int").alias("min_depth"),
+        )
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-windowFunnel-style funnel depth per user: view → click →
     purchase inside a 2-day window anchored at the first view. ONE shuffle
@@ -1830,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir": q_sample_dsir,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "crawl_url_templates": q_crawl_url_templates,
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -2344,6 +2370,49 @@ def _crawl_hostgraph_oracle_sql() -> str:
              CAST(count(*) AS BIGINT) AS n_links,
              CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages
       FROM h GROUP BY src_host, dst_host
+    """
+
+
+def _crawl_url_templates_oracle_sql() -> str:
+    """Oracle for crawl_url_templates: the simulator's stored page set
+    (url, depth) as VALUES; DuckDB derives host, path, and the digits→N
+    template with its own regexp engine ('g' flag — DuckDB replaces only
+    the first match by default, Spark replaces all)."""
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.simulator import CrawlSimulator
+    from polipus_spark.sources.corpus import gen_corpus
+
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5)
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(["http://host0.example.com/", "http://host1.example.com/"])
+    rows = ",\n        ".join(
+        "('{}', {})".format(p.url.replace("'", "''"), p.depth)
+        for p in sorted(sim.pages.values(), key=lambda p: p.url)
+    )
+    return f"""
+      WITH raw AS (
+        SELECT CAST(url AS VARCHAR) AS url, CAST(depth AS INT) AS depth
+        FROM (VALUES
+        {rows}
+        ) AS t(url, depth)),
+      t AS (
+        SELECT lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS host,
+               regexp_replace(
+                 CASE WHEN regexp_extract(
+                        url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)',
+                        1) = ''
+                      THEN '/'
+                      ELSE regexp_extract(
+                        url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)',
+                        1) END,
+                 '[0-9]+', 'N', 'g') AS template,
+               depth
+        FROM raw)
+      SELECT host, template,
+             CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(min(depth) AS INT) AS min_depth
+      FROM t GROUP BY host, template
     """
 
 
@@ -3979,6 +4048,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_e2e_pages": _crawl_e2e_oracle_sql(),
         "crawl_pagerank": _crawl_pagerank_oracle_sql(),
         "crawl_hostgraph": _crawl_hostgraph_oracle_sql(),
+        "crawl_url_templates": _crawl_url_templates_oracle_sql(),
         "crawl_prioritize": _crawl_prioritize_oracle_sql(),
         "crawl_changed_pages": _crawl_changed_pages_oracle_sql(),
     }

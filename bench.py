@@ -326,6 +326,8 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "dedup_substring_scrub", "sample_dsir",
         # r5 fourth batch: funnel + retention event analytics
         "events_funnel", "events_retention",
+        # (crawl_url_templates is deliberately NOT in the sweep: its cost
+        # is the shared entry crawl session, not the template rollup)
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):

@@ -158,3 +158,18 @@ def host_of(url: str | None) -> str | None:
         return None
     m = re.match(HOST_RE, url)
     return m.group(1).lower() if m else None
+
+
+PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+
+
+def url_path_template(url: Column) -> Column:
+    """URL pattern-mining template: the path with every digit run collapsed
+    to ``N`` (``/page/2`` and ``/page/17`` → ``/page/N``), query/fragment
+    dropped, empty path normalized to ``/``. Pure Column regexp — map-only,
+    fused into the scan. Grouping a crawl's pages by (host, template)
+    surfaces pagination families and crawler traps."""
+    path = F.regexp_extract(url, PATH_RE, 1)
+    return F.regexp_replace(
+        F.when(path == "", "/").otherwise(path), r"[0-9]+", "N"
+    )

@@ -88,3 +88,23 @@ def test_h60_matches_python(spark):
 def test_host_of_scalar():
     assert host_of("http://User:pw@WWW.Ex.com:8080/p?q") == "www.ex.com"
     assert host_of("not a url") is None
+
+
+def test_url_path_template(spark):
+    from pyspark.sql import functions as F
+
+    from polipus_spark.functions.urls import url_path_template
+
+    cases = {
+        "http://a.com/page/2": "/page/N",
+        "http://a.com/page/17?q=3#frag": "/page/N",
+        "http://a.com": "/",
+        "http://a.com/": "/",
+        "https://a.com/v2/items/99/detail": "/vN/items/N/detail",
+        "http://a.com/plain/path": "/plain/path",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["t"] for r in
+           df.select("url", url_path_template(F.col("url")).alias("t"))
+           .collect()}
+    assert got == cases
