@@ -1644,6 +1644,29 @@ def q_crawl_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by integer-cents value per event_type — the grouped
+    top-k shape. Catalyst compiles the rank filter to WindowGroupLimit:
+    each map task keeps only its local top-3 per group BEFORE the
+    exchange, so the shuffle carries ~k rows per (task, group), not the
+    whole table — the built-in distributed top-k the O3 two-phase cap
+    hand-builds for the frontier's budget-column case (where the limit is
+    a COLUMN and WindowGroupLimit can't apply)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.select(
+            "event_type", "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        .withColumn("rnk", F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.col("value_cents").desc(), F.col("event_id"))))
+        .where(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value_cents",
+                F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-windowFunnel-style funnel depth per user: view → click →
     purchase inside a 2-day window anchored at the first view. ONE shuffle
@@ -1856,6 +1879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "crawl_url_templates": q_crawl_url_templates,
+        "events_topk_per_group": q_events_topk_per_group,
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -3608,6 +3632,16 @@ def oracle_sql() -> dict[str, str]:
                    AS n_dup_windows
           FROM h a LEFT JOIN dup ON dup.h = a.h
           GROUP BY a.doc_id
+        """,
+        "events_topk_per_group": """
+          SELECT event_type, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS value_cents,
+                 CAST(row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(round(value * 100) AS BIGINT) DESC,
+                            event_id) AS INT) AS rnk
+          FROM events
+          QUALIFY rnk <= 3
         """,
         "events_funnel": """
           WITH e AS (

@@ -79,3 +79,14 @@ def test_two_phase_budgeted_parity(spark, fixture_base):
         .count()
     )
     assert two == one
+
+
+def test_events_topk_per_group_uses_window_group_limit(spark):
+    """The grouped top-k entry must compile to a map-side WindowGroupLimit
+    (literal rank limit): the shuffle carries ~k rows per (task, group),
+    not the whole events table."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["events_topk_per_group"](
+        spark, "/root/testdata/sf0.01")
+    assert "WindowGroupLimit" in _plan(df)
