@@ -1667,6 +1667,24 @@ def q_events_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (user_id, value_cents) — the
+    OPTIMIZE ZORDER layout primitive: range-partitioning on this key gives
+    every output file a compact Z-curve segment, so parquet min-max stats
+    prune scans on EITHER dimension. Pure Column bit fold, map-only."""
+    from polipus_spark.functions.zorder import zorder_key
+
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        zorder_key(
+            F.col("user_id"),
+            F.round(F.col("value") * 100).cast("bigint"),
+            bits=12,
+        ).alias("zkey"),
+    )
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse-windowFunnel-style funnel depth per user: view → click →
     purchase inside a 2-day window anchored at the first view. ONE shuffle
@@ -1880,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "crawl_url_templates": q_crawl_url_templates,
         "events_topk_per_group": q_events_topk_per_group,
+        "events_zorder": q_events_zorder,
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -2394,6 +2413,17 @@ def _crawl_hostgraph_oracle_sql() -> str:
              CAST(count(*) AS BIGINT) AS n_links,
              CAST(count(DISTINCT src_url) AS BIGINT) AS n_src_pages
       FROM h GROUP BY src_host, dst_host
+    """
+
+
+def _events_zorder_oracle_sql() -> str:
+    """Oracle for events_zorder: the identical Morton interleave unrolled
+    as ANSI-SQL shift/mask terms (``zorder.zorder_key_sql``)."""
+    from polipus_spark.functions.zorder import zorder_key_sql
+
+    z = zorder_key_sql("user_id", "round(value * 100)", bits=12)
+    return f"""
+      SELECT event_id, CAST({z} AS BIGINT) AS zkey FROM events
     """
 
 
@@ -3633,6 +3663,7 @@ def oracle_sql() -> dict[str, str]:
           FROM h a LEFT JOIN dup ON dup.h = a.h
           GROUP BY a.doc_id
         """,
+        "events_zorder": _events_zorder_oracle_sql(),
         "events_topk_per_group": """
           SELECT event_type, event_id,
                  CAST(round(value * 100) AS BIGINT) AS value_cents,

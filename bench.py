@@ -324,8 +324,10 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         # EXACTSUBSTR window dedup, DSIR importance weights
         "dedup_hashembed_near", "text_gopher_rules", "dedup_substring",
         "dedup_substring_scrub", "sample_dsir",
-        # r5 fourth batch: funnel + retention event analytics
-        "events_funnel", "events_retention",
+        # r5 fourth batch: funnel + retention event analytics, grouped
+        # top-k (WindowGroupLimit), and the Z-order clustering key
+        "events_funnel", "events_retention", "events_topk_per_group",
+        "events_zorder",
         # (crawl_url_templates is deliberately NOT in the sweep: its cost
         # is the shared entry crawl session, not the template rollup)
     ]

@@ -1770,3 +1770,89 @@ def test_retention_cohorts_hand_case(spark):
         ("2024-01-01", 1): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_funnel_levels_randomized_parity(spark):
+    """200 seeded-random events across 20 users: the Spark fold matches a
+    pure-Python greedy replay exactly (levels AND anchor timestamps)."""
+    import random
+
+    from polipus_spark.operators.funnel import funnel_levels
+
+    rng = random.Random(42)
+    steps = ["view", "click", "purchase"]
+    types = steps + ["error", "signup"]
+    window_us = 500 * 1_000_000
+    rows = []
+    for eid in range(200):
+        rows.append((eid, rng.randrange(20), rng.randrange(0, 3000),
+                     rng.choice(types)))
+
+    expect = {}
+    for uid in range(20):
+        evs = sorted((sec, eid, et) for eid, u, sec, et in rows if u == uid)
+        level, t1, tlast = 0, None, None
+        for sec, eid, et in evs:
+            us = sec * 1_000_000
+            if level == 0 and et == steps[0]:
+                level, t1, tlast = 1, us, us
+            elif (0 < level < len(steps) and et == steps[level]
+                  and us > tlast and us <= t1 + window_us):
+                level, tlast = level + 1, us
+        if level >= 1:
+            expect[uid] = (level, t1)
+
+    ev = spark.createDataFrame(
+        [(eid, u, sec, et) for eid, u, sec, et in rows],
+        "event_id long, user_id long, sec long, event_type string",
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+    got = {r["user_id"]: (r["level"], r["t1_us"])
+           for r in funnel_levels(ev, steps, window_sec=500).collect()}
+    assert got == expect
+
+
+def test_zorder_key_matches_reference(spark):
+    """Column interleave == the scalar reference on seeded random pairs,
+    including mask wraparound; curve locality: sorting by the key groups
+    quadrant-sized blocks (the (0,0)-quadrant prefix property)."""
+    import random
+
+    from polipus_spark.functions.zorder import zorder_key, zorder_key_py
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(1 << 18), rng.randrange(1 << 18))
+             for _ in range(64)] + [(0, 0), (65535, 65535), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pairs, "a long, b long")
+    got = df.select("a", "b",
+                    zorder_key(F.col("a"), F.col("b"), 16).alias("z")
+                    ).collect()
+    for r in got:
+        assert r["z"] == zorder_key_py(r["a"], r["b"], 16), (r["a"], r["b"])
+    # prefix property: both coords < 2^8  <=>  key < 2^16
+    for r in got:
+        in_quadrant = (r["a"] & 0xFFFF) < 256 and (r["b"] & 0xFFFF) < 256
+        assert (r["z"] < (1 << 16)) == in_quadrant
+
+
+def test_cluster_by_zorder_partition_envelopes(spark):
+    """Range-partitioning on the Morton key yields per-partition min-max
+    envelopes on BOTH dimensions that are tighter than the global range —
+    the property parquet row-group pruning exploits."""
+    from polipus_spark.functions.zorder import cluster_by_zorder
+
+    rows = [(a, b) for a in range(0, 64, 2) for b in range(0, 64, 2)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    parts = (
+        cluster_by_zorder(df, F.col("a"), F.col("b"), 8, bits=6)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.min("a"), F.max("a"), F.min("b"), F.max("b"), F.count("*"))
+        .collect()
+    )
+    n_rows = len(rows)
+    spans = [(r["max(a)"] - r["min(a)"], r["max(b)"] - r["min(b)"],
+              r["count(1)"]) for r in parts if r["count(1)"] > 0]
+    # every non-trivial partition covers well under the full 0..62 range
+    # in at least one dimension (Z-curve segments are quadrant-compact)
+    assert sum(c for _, _, c in spans) == n_rows
+    assert all(min(sa, sb) <= 32 for sa, sb, c in spans if c >= 16)
