@@ -1667,6 +1667,41 @@ def q_events_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level video near-dup (r5): REAL Y4M decode → 60-bit
+    fingerprint per raw frame → self-equi-join on the fingerprint →
+    pairs sharing >= 3 of 5 frames. Fixture: each doc renders a 5-frame
+    2×2 C444 clip whose frames come from the doc's GROUP (doc_id % 32)
+    except frame 2, which is per-doc — so same-group clips are re-cuts
+    sharing exactly 4 frames and cross-group clips share none. Pixels
+    never shuffle (one mapInPandas pass emits ~16 B/frame). Oracle:
+    DuckDB re-derives every frame's hex from the same md5 arithmetic —
+    raw YUV is uncompressed, so no Y4M parsing is needed — and replays
+    fingerprint, join, and threshold itself."""
+    from polipus_spark.functions.multimodal import video_near_pairs
+
+    d = _docs(spark, sf_dir)
+    g = (F.col("doc_id") % 32).cast("string")
+    s = F.col("doc_id").cast("string")
+
+    def _frame_hex(i: int):
+        if i == 2:
+            return F.substring(
+                F.md5(F.concat(F.lit("doc"), s, F.lit("f2"))), 1, 24)
+        return F.substring(
+            F.md5(F.concat(F.lit("vid"), g, F.lit(f"f{i}"))), 1, 24)
+
+    body = F.concat(*[
+        F.concat(F.lit("FRAME\n").cast("binary"),
+                 F.to_binary(_frame_hex(i), F.lit("hex")))
+        for i in range(5)
+    ])
+    payload = F.concat(
+        F.lit("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n").cast("binary"), body)
+    media = d.select("doc_id", payload.alias("payload"))
+    return video_near_pairs(media, min_common=3)
+
+
 def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over (user_id, value_cents) — the
     OPTIMIZE ZORDER layout primitive: range-partitioning on this key gives
@@ -1899,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_url_templates": q_crawl_url_templates,
         "events_topk_per_group": q_events_topk_per_group,
         "events_zorder": q_events_zorder,
+        "dedup_video_frames": q_dedup_video_frames,
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -3664,6 +3700,30 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY a.doc_id
         """,
         "events_zorder": _events_zorder_oracle_sql(),
+        "dedup_video_frames": """
+          WITH fr AS (
+            SELECT doc_id, i.i AS frame_idx,
+                   CASE WHEN i.i = 2
+                        THEN substr(md5(concat('doc', CAST(doc_id AS
+                               VARCHAR), 'f2')), 1, 24)
+                        ELSE substr(md5(concat('vid',
+                               CAST(doc_id % 32 AS VARCHAR),
+                               'f', CAST(i.i AS VARCHAR))), 1, 24)
+                   END AS fhex
+            FROM documents, unnest(range(0, 5)) i(i)
+          ),
+          f AS (
+            SELECT DISTINCT doc_id AS id,
+                   CAST(concat('0x', substr(md5(fhex), 1, 15)) AS BIGINT)
+                     AS fh
+            FROM fr
+          )
+          SELECT a.id AS id_a, b.id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_common
+          FROM f a JOIN f b ON a.fh = b.fh AND a.id < b.id
+          GROUP BY a.id, b.id
+          HAVING count(*) >= 3
+        """,
         "events_topk_per_group": """
           SELECT event_type, event_id,
                  CAST(round(value * 100) AS BIGINT) AS value_cents,

@@ -955,3 +955,71 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def video_frame_hashes(media: DataFrame, every_n: int = 1,
+                       id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL Y4M decode → one 60-bit fingerprint per sampled frame:
+    ``(id, frame_idx, fh)``. The frame-level dedup primitive — videos
+    sharing fingerprints share literal raw frames (raw YUV is exact, so
+    an identical frame is an identical byte string).
+
+    The fingerprint is md5 over the frame's lowercase hex TEXT (not the
+    raw bytes) so the DuckDB oracle — whose md5 only takes VARCHAR — can
+    replay it from the same hex arithmetic that generated the fixture.
+    Plan: ONE mapInPandas decode pass (pixels never cross the wire; the
+    output is ~16 B per sampled frame), sampled every ``every_n`` frames —
+    the same 1/N cost lever as :func:`video_stats`.
+    """
+    if every_n < 1:
+        raise ValueError("every_n must be >= 1")
+    out_schema = T.StructType([
+        next(f for f in media.schema.fields if f.name == id_col),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("fh", T.LongType(), False),
+    ])
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, fhs = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    _w, _h, _fps, frames = decode_y4m(bytes(p))
+                except (ValueError, TypeError):
+                    continue
+                for j, planes in list(enumerate(frames))[::every_n]:
+                    raw = b"".join(pl.tobytes() for pl in planes)
+                    fh = int(
+                        hashlib.md5(raw.hex().encode()).hexdigest()[:15], 16
+                    )
+                    ids.append(did)
+                    idxs.append(j)
+                    fhs.append(fh)
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "fh": fhs})
+
+    return media.mapInPandas(_hashes, out_schema)
+
+
+def video_near_pairs(media: DataFrame, min_common: int = 2,
+                     every_n: int = 1, id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Frame-level video near-dup pairs: ``(id_a, id_b, n_common)`` for
+    video pairs sharing >= ``min_common`` distinct frame fingerprints —
+    re-cuts, padded copies, and shared-footage clips that whole-file
+    hashing misses. One decode pass (:func:`video_frame_hashes`), then a
+    self-equi-join on the 60-bit fingerprint: candidates ∝ actual frame
+    collisions (shared-footage cliques), never all-pairs, and only
+    (id, hash) rows ever shuffle."""
+    fr = video_frame_hashes(media, every_n=every_n, id_col=id_col,
+                            payload_col=payload_col)
+    f = fr.select(F.col(id_col).alias("id"), "fh").distinct()
+    a = f.select(F.col("id").alias("id_a"), "fh")
+    b = f.select(F.col("id").alias("id_b"), "fh")
+    return (
+        a.join(b, "fh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )

@@ -1856,3 +1856,31 @@ def test_cluster_by_zorder_partition_envelopes(spark):
     # in at least one dimension (Z-curve segments are quadrant-compact)
     assert sum(c for _, _, c in spans) == n_rows
     assert all(min(sa, sb) <= 32 for sa, sb, c in spans if c >= 16)
+
+
+def test_video_near_pairs_hand_case(spark):
+    """Two clips sharing 2 of 3 raw frames pair at n_common=2; a clip with
+    all-distinct frames stays out; a corrupt payload is skipped, not
+    fatal."""
+    from polipus_spark.functions.multimodal import (
+        video_frame_hashes, video_near_pairs,
+    )
+
+    def clip(frames):
+        body = b"".join(b"FRAME\n" + f for f in frames)
+        return b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n" + body
+
+    fa, fb, fc, fd = (bytes([i] * 12) for i in range(4))
+    rows = [
+        (1, clip([fa, fb, fc])),
+        (2, clip([fa, fb, fd])),
+        (3, clip([bytes([9] * 12), bytes([8] * 12), bytes([7] * 12)])),
+        (4, b"not a video"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = video_frame_hashes(media).collect()
+    assert {r["doc_id"] for r in hashes} == {1, 2, 3}
+    assert len(hashes) == 9
+    pairs = video_near_pairs(media, min_common=2).collect()
+    assert [(r["id_a"], r["id_b"], r["n_common"]) for r in pairs] \
+        == [(1, 2, 2)]
