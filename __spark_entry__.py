@@ -1787,6 +1787,19 @@ def q_sketch_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_events(spark, sf_dir), _sketch_key())
 
 
+def q_sketch_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL (r5): distinct users per event_type PLUS a '__all__'
+    row whose registers are MERGED (per-bucket max) from the per-group
+    registers — sketch mergeability demonstrated in-plan: the merged
+    estimate must equal a global HLL of the same key, without recounting
+    raw keys. ONE groupBy over (groups × 64) registers."""
+    from polipus_spark.functions.sketches import hll_distinct_by
+
+    return hll_distinct_by(
+        _events(spark, sf_dir), F.col("event_type"),
+        F.col("user_id").cast("string"))
+
+
 def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct estimate (r4), sketch-guided two-pass:
     an HLL pre-pass bounds the kth-min hash, a pushed-down threshold
@@ -1935,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk_per_group": q_events_topk_per_group,
         "events_zorder": q_events_zorder,
         "dedup_video_frames": q_dedup_video_frames,
+        "sketch_distinct_by_type": q_sketch_distinct_by_type,
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
@@ -4284,6 +4298,40 @@ def oracle_sql() -> dict[str, str]:
     # KMV replays the full sketch-guided two-pass: HLL estimate -> integer
     # threshold (2^60 // n_est) * 8k (a no-op when n_est <= 8k) -> k=256
     # smallest distinct hashes -> (k-1)/kth_min_normalized
+    # grouped HLL + merged '__all__' row: per-group register max, then the
+    # merged row's registers are the max over groups per bucket — the same
+    # harmonic/estimate arithmetic applied per grp
+    out["sketch_distinct_by_type"] = """
+      WITH h AS (
+        SELECT event_type AS grp,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) AS h
+        FROM events),
+      regs AS (
+        SELECT grp, h % 64 AS bucket,
+               max(least(52, CASE WHEN (h >> 6) = 0 THEN 55
+                                  ELSE 55 - length(bin(h >> 6)) END))
+                 AS rho_max
+        FROM h GROUP BY 1, 2),
+      allregs AS (
+        SELECT grp, bucket, rho_max FROM regs
+        UNION ALL
+        SELECT '__all__', bucket, max(rho_max) FROM regs GROUP BY bucket),
+      agg AS (
+        SELECT grp, count(*) AS n_buckets_seen,
+               CAST(sum(1::BIGINT << (52 - rho_max)) AS BIGINT) AS s_seen
+        FROM allregs GROUP BY grp),
+      hll AS (
+        SELECT grp, n_buckets_seen,
+               s_seen + (64 - n_buckets_seen) * (1::BIGINT << 52)
+                 AS harmonic_sum_scaled
+        FROM agg)
+      SELECT grp, CAST(n_buckets_seen AS BIGINT) AS n_buckets_seen,
+             CAST(floor(0.709::DOUBLE * 64 * 64 / (harmonic_sum_scaled
+                  / 4503599627370496.0) * 10000) AS BIGINT)
+               AS est_distinct_x4
+      FROM hll
+    """
     out["sketch_distinct_kmv"] = f"""
       WITH {hll_cte},
       est AS (SELECT greatest(1, {hll_est} // 10000) AS n_est FROM hll),

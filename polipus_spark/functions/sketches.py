@@ -264,3 +264,66 @@ def binned_quantiles(
         F.col("c").alias("in_bin"),
         F.floor(est * F.lit(SCALE)).cast("bigint").alias("est_value_x4"),
     ).orderBy("q_bps")
+
+
+def hll_distinct_by(
+    df: DataFrame, group: Column, key: Column, all_label: str = "__all__"
+) -> DataFrame:
+    """Grouped HLL distinct estimates PLUS a merged total — the property
+    that makes sketches the 100 TB answer, demonstrated in-plan: the
+    ``all_label`` row's registers are the per-bucket max over the GROUP
+    registers (sketch merge), never a recount of the raw keys, yet its
+    estimate equals :func:`hll_distinct` run globally on the same key
+    (register max is associative — pinned by test and oracle).
+
+    Output: ``(grp, n_buckets_seen, est_distinct_x4)`` — one row per group
+    value plus the merged row. Scale shape: ONE groupBy over
+    (n_groups × 64) registers, then a 64-row merge; input size never
+    reaches a shuffle.
+    """
+    h = hash60(key)
+    v = F.shiftright(h, HLL_P)
+    bit_len = F.length(F.conv(v, 10, 2))
+    rho = F.least(
+        F.lit(RHO_SHIFT),
+        F.when(v == 0, F.lit(HASH_BITS - HLL_P + 1)).otherwise(
+            F.lit(HASH_BITS - HLL_P + 1) - bit_len
+        ),
+    )
+    regs = (
+        df.select(
+            group.cast("string").alias("grp"),
+            (h % F.lit(HLL_M)).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("rho_max"))
+    )
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("rho_max").alias("rho_max"))
+        .select(F.lit(all_label).alias("grp"), "bucket", "rho_max")
+    )
+    agg = (
+        regs.unionByName(merged)
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_buckets_seen"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {RHO_SHIFT} - rho_max)")
+            ).alias("s_seen"),
+        )
+    )
+    harmonic = F.col("s_seen") + (
+        F.lit(HLL_M) - F.col("n_buckets_seen")
+    ) * F.lit(1 << RHO_SHIFT).cast("bigint")
+    est = F.floor(
+        F.lit(HLL_ALPHA * HLL_M * HLL_M)
+        / (harmonic / F.lit(float(1 << RHO_SHIFT)))
+        * F.lit(SCALE)
+    ).cast("bigint")
+    return agg.select(
+        "grp",
+        F.col("n_buckets_seen").cast("bigint").alias("n_buckets_seen"),
+        est.alias("est_distinct_x4"),
+    )

@@ -90,3 +90,24 @@ def test_binned_quantiles_near_exact(spark, events):
         exact = vals[min(len(vals) - 1, (r["q_bps"] * len(vals) + 9999) // 10_000 - 1)]
         est = r["est_value_x4"] / 10_000
         assert abs(est - exact) <= 2 * bin_w + 1e-9, (r["q_bps"], est, exact)
+
+
+def test_hll_distinct_by_merge_equals_global(spark):
+    """The '__all__' row — merged from per-group registers, never from raw
+    keys — must equal hll_distinct run globally on the same key (register
+    max is associative), and per-group estimates track true cardinalities
+    within HLL error (m=64 → ~13%)."""
+    from pyspark.sql import functions as F
+
+    from polipus_spark.functions.sketches import hll_distinct, hll_distinct_by
+
+    rows = [(f"u{i % 97}", "a" if i % 3 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "uid string, grp string")
+    by = {r["grp"]: r["est_distinct_x4"]
+          for r in hll_distinct_by(df, F.col("grp"), F.col("uid")).collect()}
+    glob = hll_distinct(df, F.col("uid")).collect()[0]["est_distinct_x4"]
+    assert by["__all__"] == glob
+    # both groups see the SAME 97 distinct uids (gcd(3, 97) = 1 sweeps all
+    # residues), so their registers — and estimates — are identical, and
+    # merging two identical register sets changes nothing
+    assert by["a"] == by["b"] == by["__all__"]
