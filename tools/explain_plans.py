@@ -202,6 +202,19 @@ def main() -> None:
         "dedup_hashembed_near": "embedding-free semantic near-dup (r5): "
         "map-only hash_embed folds + sign fingerprint, banded equi-join "
         "candidates, integer cosine verify — no model pass, no n².",
+        "events_funnel": "windowFunnel (r5): ONE groupBy(user) exchange, "
+        "then the whole greedy chain is an aggregate fold inside the "
+        "projection — no per-step self-joins anywhere in the plan.",
+        "events_topk_per_group": "grouped top-k (r5): WindowGroupLimit "
+        "below the exchange — each map task ships ~k rows per group.",
+        "events_zorder": "Z-order key (r5): one ProjectExec of shift/mask "
+        "terms fused into the scan, map-only.",
+        "dedup_video_frames": "frame-level video dedup (r5): one "
+        "mapInPandas decode (pixels never shuffle), equi-join on the "
+        "60-bit frame fingerprint, pair count-filter.",
+        "sketch_distinct_by_type": "grouped HLL + merge (r5): registers "
+        "aggregate map-side; the __all__ merge is a 64-row re-agg — "
+        "input size never reaches an exchange.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
