@@ -325,3 +325,105 @@ def streaming_neardedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    window_sec: int,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of ``operators.funnel.funnel_levels``: per-user
+    funnel depth maintained ACROSS micro-batches via
+    ``applyInPandasWithState``.
+
+    State per user = the batch fold's accumulator ``(level, t1_us,
+    tlast_us)``; each micro-batch sorts its arriving step events and
+    resumes the greedy chain exactly where the previous batch left it, so
+    feeding the same events through in arrival order reproduces the batch
+    operator row-for-row (pinned by test). Same in-order contract as
+    ``streaming_sessionize``: an event arriving in a later batch than a
+    chronologically-later event cannot retroactively rewrite a locked
+    chain.
+
+    Emits (user_id, level, t1_us) in Update mode — one refreshed row per
+    user per batch that advanced it. State is reclaimed with an event-time
+    timeout at ``t1 + window``: past the anchor window NOTHING can extend
+    the chain (the level-k condition requires ts <= t1 + window), so the
+    user's funnel is final and the store stays bounded by ACTIVE windows,
+    not by users ever seen — the requirement for a continuous deployment.
+    """
+    from typing import Any, Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    if not steps:
+        raise ValueError("steps must be a non-empty event-type sequence")
+    w_us = window_sec * 1_000_000
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("level", IntegerType()),
+        StructField("t1_us", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("level", IntegerType()),
+        StructField("t1_us", LongType()),
+        StructField("tlast_us", LongType()),
+    ])
+
+    def _funnel(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # window closed: the chain is final
+            state.remove()
+            return
+        (user_id,) = key
+        level, t1, tlast = state.get if state.exists else (0, 0, 0)
+        chunks = [c for c in pdfs if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        us_col = pdf["ts"].astype("int64") // 1_000  # ns → µs
+        advanced = False
+        for us, et in zip(us_col, pdf["event_type"]):
+            us = int(us)
+            if level == 0 and et == steps[0]:
+                level, t1, tlast = 1, us, us
+                advanced = True
+            elif (0 < level < len(steps) and et == steps[level]
+                  and us > tlast and us <= t1 + w_us):
+                level, tlast = level + 1, us
+                advanced = True
+        if advanced:
+            yield pd.DataFrame({
+                "user_id": [int(user_id)],
+                "level": pd.Series([level], dtype="int32"),
+                "t1_us": pd.Series([t1], dtype="int64"),
+            })
+        if level >= 1:
+            # pre-anchor users store NOTHING (the greedy fold ignores
+            # events before the anchor, so there is nothing to remember
+            # and no timeout that would ever reclaim a level-0 entry)
+            state.update((int(level), int(t1), int(tlast)))
+            # event-time timeout at the window close (ms); the watermark
+            # floor is required by EventTimeTimeout semantics
+            state.setTimeoutTimestamp(
+                max((t1 + w_us) // 1000 + 1,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+
+    return (
+        events.where(F.col("event_type").isin(steps))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel, out_schema, state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

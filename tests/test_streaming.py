@@ -297,3 +297,62 @@ def test_streaming_sessionize_survives_watermark_lead(spark):
         (1, 3): 2,              # 290s < gap: session 2 CONTINUES across b1->b4
         (2, 10): 1, (2, 11): 2, (2, 12): 2,
     }
+
+
+def test_streaming_funnel_matches_batch(spark):
+    """The stateful streaming funnel resumes the greedy chain across
+    micro-batches and its final per-user rows equal the batch
+    funnel_levels operator on the same events."""
+    import datetime as dt
+    import tempfile
+
+    from polipus_spark.operators.funnel import funnel_levels
+    from polipus_spark.streaming.waves import streaming_funnel
+
+    base = dt.datetime(2024, 1, 1)
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ])
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(base + dt.timedelta(seconds=s), e, u, et)
+             for s, e, u, et in rows], schema)
+
+    steps, window = ["view", "click", "purchase"], 3600
+    # batch 1: u1 view+click; u2 view; u3 click only (no anchor)
+    b1 = [(0, 1, 1, "view"), (600, 2, 1, "click"),
+          (0, 10, 2, "view"), (0, 20, 3, "click")]
+    # batch 2: u1 purchase inside window (level 3); u2 click OUTSIDE the
+    # 1h window (stays level 1); u3 view (anchors now)
+    b2 = [(1200, 3, 1, "purchase"), (5000, 11, 2, "click"),
+          (100, 21, 3, "view")]
+
+    src = tempfile.mkdtemp(prefix="funnel_src_")
+    mk(b1).coalesce(1).write.mode("append").parquet(src)
+    mk(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = streaming_funnel(stream, steps, window_sec=window)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("funnel_out").trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(180)
+        rows = spark.sql(
+            "SELECT * FROM funnel_out ORDER BY user_id, level").collect()
+    finally:
+        q.stop()
+    # last (highest-level) row per user is the final funnel state
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["level"], r["t1_us"])
+
+    batch = {r["user_id"]: (r["level"], r["t1_us"])
+             for r in funnel_levels(mk(b1 + b2), steps, window_sec=window)
+             .collect()}
+    assert final == batch
+    assert final[1][0] == 3 and final[2][0] == 1 and final[3][0] == 1
