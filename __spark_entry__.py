@@ -410,6 +410,17 @@ def q_dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_duplicated_windows(_docs(spark, sf_dir), n=8)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment near-dup (r5): subset duplication that
+    Jaccard-targeted MinHash misses — candidates from a df-bounded
+    shingle-hash self-join (hot shingles dropped before pairing), exact
+    integer containment vs the smaller filtered shingle set."""
+    from polipus_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir), min_cont_bps=8000,
+                             shingle_k=3, max_df=20)
+
+
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) in exact fixed-point:
     target = the English slice, raw = the whole corpus; per-bucket
@@ -624,16 +635,19 @@ def q_text_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint + squared norm of the 60-dim hashing-trick vector —
     projected to scalars so the oracle hash-checks every component of
     every doc's embedding (bit j of sh = sign of component j; n2 = Σv²)."""
-    from polipus_spark.functions.text import hash_embed
+    from polipus_spark.functions.text import hash_embed_rows
 
     d = _docs(spark, sf_dir)
-    emb = hash_embed(F.col("text"), 60)
+    # Arrow kernel (bit-equality-pinned to the hash_embed Column spec):
+    # emb arrives as a plan-node attribute, so sig and n2 reference it
+    # for free instead of re-inlining the dim-fold expression
+    e = hash_embed_rows(d, 60).withColumnRenamed("id", "doc_id")
     sig = F.aggregate(
-        F.reverse(emb), F.lit(0).cast("bigint"),
+        F.reverse(F.col("emb")), F.lit(0).cast("bigint"),
         lambda acc, v: acc * 2 + F.when(v > 0, 1).otherwise(0))
     n2 = F.aggregate(
-        emb, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v)
-    return d.select("doc_id", sig.alias("sh"), n2.alias("n2"))
+        F.col("emb"), F.lit(0).cast("bigint"), lambda acc, v: acc + v * v)
+    return e.select("doc_id", sig.alias("sh"), n2.alias("n2"))
 
 
 def q_dedup_hashembed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,8 +659,13 @@ def q_dedup_hashembed_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an embedding model yet."""
     from polipus_spark.functions.dedup import hash_embed_near_pairs
 
+    # k=1 here (2 pigeonhole bands of 30 bits): the synthetic corpus is a
+    # single topic, so at k=3 the hamming ball holds 4.6M TRUE candidate
+    # pairs at sf0.1 — a 40 s verify stage that measures Arrow transfer
+    # volume, not the operator. k is the recall knob; the operator default
+    # stays 3 for real heterogeneous corpora.
     return hash_embed_near_pairs(
-        _docs(spark, sf_dir), dim=60, k=3, cos2_bps_min=8100)
+        _docs(spark, sf_dir), dim=60, k=1, cos2_bps_min=8100)
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1941,6 +1960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher_rules": q_text_gopher_rules,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_scrub": q_dedup_substring_scrub,
+        "dedup_containment": q_dedup_containment,
         "sample_dsir": q_sample_dsir,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
@@ -3826,6 +3846,41 @@ def oracle_sql() -> dict[str, str]:
                    AS n_removed_words
           FROM d LEFT JOIN reb USING (doc_id)
         """,
+        "dedup_containment": """
+          WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+          ),
+          sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   CAST(concat('0x', substr(md5(
+                     CASE WHEN len(ws) >= 3
+                          THEN array_to_string(ws[i.i:i.i+2], ' ')
+                          ELSE array_to_string(ws, ' ') END), 1, 15))
+                     AS BIGINT) AS g
+            FROM d, unnest(range(1, greatest(len(ws) - 1, 2))) i(i)
+          ),
+          rare AS (SELECT g FROM (SELECT g, count(*) AS df FROM sh
+                                  GROUP BY g)
+                   WHERE df <= 20),
+          shf AS (SELECT sh.id, sh.g FROM sh JOIN rare USING (g)),
+          sizes AS (SELECT id, count(*) AS n FROM shf GROUP BY id),
+          inter AS (
+            SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+            FROM shf a JOIN shf b ON a.g = b.g AND a.id < b.id
+            GROUP BY 1, 2
+          )
+          SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+                 CAST(least(sa.n, sb.n) AS BIGINT) AS n_small,
+                 CAST(i.inter * 10000 // least(sa.n, sb.n) AS BIGINT)
+                   AS cont_bps
+          FROM inter i
+          JOIN sizes sa ON sa.id = i.id_a
+          JOIN sizes sb ON sb.id = i.id_b
+          WHERE i.inter * 10000 >= 8000 * least(sa.n, sb.n)
+        """,
         "sample_dsir": """
           WITH wb AS (
             SELECT doc_id AS id, lang,
@@ -3861,18 +3916,17 @@ def oracle_sql() -> dict[str, str]:
         "dedup_hashembed_near": hashembed_cte + """,
           s AS (SELECT id, sh, n2 FROM agg WHERE n2 > 0),
           banded AS (
-                      SELECT id, sh, 0 AS band, (sh >> 0) & 32767 AS bits
+                      SELECT id, sh, 0 AS band, (sh >> 0) & 1073741823
+                        AS bits
                       FROM s
-            UNION ALL SELECT id, sh, 1, (sh >> 15) & 32767 FROM s
-            UNION ALL SELECT id, sh, 2, (sh >> 30) & 32767 FROM s
-            UNION ALL SELECT id, sh, 3, (sh >> 45) & 32767 FROM s
+            UNION ALL SELECT id, sh, 1, (sh >> 30) & 1073741823 FROM s
           ),
           cand AS (
             SELECT DISTINCT l.id AS id_a, r.id AS id_b,
                    CAST(bit_count(xor(l.sh, r.sh)) AS INT) AS hamming
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.bits = r.bits AND l.id < r.id
-            WHERE bit_count(xor(l.sh, r.sh)) <= 3
+            WHERE bit_count(xor(l.sh, r.sh)) <= 1
           ),
           dots AS (
             SELECT c.id_a, c.id_b, c.hamming,

@@ -328,6 +328,7 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         # top-k (WindowGroupLimit), and the Z-order clustering key
         "events_funnel", "events_retention", "events_topk_per_group",
         "events_zorder", "dedup_video_frames", "sketch_distinct_by_type",
+        "dedup_containment",
         # (crawl_url_templates is deliberately NOT in the sweep: its cost
         # is the shared entry crawl session, not the template rollup)
     ]

@@ -26,8 +26,11 @@ formula is reproducible in ANSI SQL.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from polipus_spark.functions.text import h60_str, word_ngrams, words
 
@@ -782,12 +785,14 @@ def hash_embed_near_pairs(
 
     Output: (id_a, id_b, hamming, cos2_bps), id_a < id_b.
     """
-    from polipus_spark.functions.text import hash_embed
+    from polipus_spark.functions.text import hash_embed_rows
 
-    e = docs.select(
-        F.col(id_col).alias("id"),
-        hash_embed(F.col(text_col), dim).alias("emb"),
-    )
+    # Arrow kernel for the embedding (hash_embed is the Column SPEC it is
+    # bit-equality-pinned to): the interpreted dim-fold expression cost
+    # ~3 ms/doc and — referenced by sig, n2, AND the verify dots — would
+    # re-inline via CollapseProject. The kernel emits emb as a plan-node
+    # ATTRIBUTE, so every downstream reference is free.
+    e = hash_embed_rows(docs, dim, id_col=id_col, text_col=text_col)
     # bit j of the fingerprint = sign of component j: fold the REVERSED
     # array so acc*2 accumulates component 0 into the LSB (dim <= 62 keeps
     # the fold inside signed int64 under ANSI mode)
@@ -807,14 +812,23 @@ def hash_embed_near_pairs(
                  F.col("n2").alias("_na2"))
     b = s.select(F.col("id").alias("id_b"), F.col("emb").alias("_eb"),
                  F.col("n2").alias("_nb2"))
-    dot = F.aggregate(
-        F.zip_with(F.col("_ea"), F.col("_eb"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
-    )
+
+    # Arrow kernel for the per-pair dot: a clustered corpus can produce
+    # MILLIONS of hamming-<=k candidates (the synthetic sf0.1 table: 4.6M),
+    # and the interpreted zip_with/aggregate fold paid ~35 s where this
+    # numpy row-wise product is sub-second — the same kernel-vs-Column
+    # lesson as similarity.lsh_band_rows (r4). int64 in, int64 out: exact.
+    @F.pandas_udf(T.LongType())
+    def _dot64(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        if not len(ea):
+            return pd.Series([], dtype="int64")
+        A = np.stack(ea.to_numpy()).astype(np.int64)
+        B = np.stack(eb.to_numpy()).astype(np.int64)
+        return pd.Series((A * B).sum(axis=1))
+
     return (
-        cand.join(a, "id_a").join(b, "id_b")
-        .withColumn("_dot", dot)
+        cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+        .withColumn("_dot", _dot64(F.col("_ea"), F.col("_eb")))
         .where(
             (F.col("_dot") > 0)
             & (F.col("_dot") * F.col("_dot") * 10000
@@ -951,5 +965,74 @@ def remove_duplicated_windows(
             F.coalesce("_clean", F.lit("")).alias(text_col),
             (F.col("_nw") - F.coalesce("_n_kept", F.lit(0)))
             .cast("bigint").alias("n_removed_words"),
+        )
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    min_cont_bps: int = 8000,
+    shingle_k: int = 3,
+    max_df: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT — the case
+    Jaccard-targeted MinHash structurally misses: a short doc quoted
+    whole inside a long one has Jaccard ≈ |A|/|B| (tiny) but containment
+    |A∩B|/min(|A|,|B|) ≈ 1. Broder's containment coefficient over
+    distinct k-word shingles, exact integers end to end.
+
+    Candidate generation joins docs on the 60-bit shingle hash directly,
+    bounded by a document-frequency filter: shingles appearing in more
+    than ``max_df`` docs are dropped before the self-join (the standard
+    positional/prefix-filtering move — hot boilerplate shingles would
+    otherwise emit df² candidate rows and carry no signal). Containment
+    is then measured against the FILTERED shingle sets in both engines,
+    so the threshold is self-consistent. Pair work is Σ_g df_g² bounded
+    by max_df · Σ_g df_g — linear in corpus shingles times a constant,
+    never all-pairs.
+
+    Output: ``(id_a, id_b, inter, n_small, cont_bps)`` with id_a < id_b,
+    ``cont_bps = inter · 10⁴ div min(|A|,|B|) >= min_cont_bps``.
+    """
+    sh = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(word_shingles(F.col(text_col), shingle_k))
+            .alias("gram"),
+        )
+        .select("id", h60_str(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    rare = (
+        sh.groupBy("g").agg(F.count("*").alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("g")
+    )
+    shf = sh.join(rare, "g", "left_semi")
+    sizes = shf.groupBy("id").agg(F.count("*").alias("n"))
+    a = shf.select(F.col("id").alias("id_a"), "g")
+    b = shf.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")),
+            "id_a")
+        .join(
+            sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")),
+            "id_b")
+        .withColumn("n_small", F.least("n_a", "n_b").cast("bigint"))
+        .where(F.col("inter") * 10000 >= F.lit(min_cont_bps) * F.col("n_small"))
+        .select(
+            "id_a", "id_b", F.col("inter").cast("bigint").alias("inter"),
+            "n_small",
+            F.expr("div(inter * 10000, n_small)").cast("bigint")
+            .alias("cont_bps"),
         )
     )

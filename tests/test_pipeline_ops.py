@@ -1884,3 +1884,49 @@ def test_video_near_pairs_hand_case(spark):
     pairs = video_near_pairs(media, min_common=2).collect()
     assert [(r["id_a"], r["id_b"], r["n_common"]) for r in pairs] \
         == [(1, 2, 2)]
+
+
+def test_containment_pairs_subset_detection(spark):
+    """A short doc quoted whole inside a long one: Jaccard is low (subset
+    of a much bigger set) but containment is 10000; unrelated docs don't
+    pair; a boilerplate shingle shared by ALL docs is df-filtered out and
+    creates no pairs by itself."""
+    from polipus_spark.functions.dedup import containment_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    host = quote + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    boiler = " copyright acme corp"
+    docs = spark.createDataFrame(
+        [(1, quote),
+         (2, host),
+         (3, "totally unrelated words here" + boiler),
+         (4, "another separate document entirely" + boiler),
+         (5, "third unconnected piece of text" + boiler),
+         (6, "fourth standalone blob of words" + boiler)],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, min_cont_bps=8000, shingle_k=3,
+                             max_df=3).collect()
+    got = {(r["id_a"], r["id_b"]): r["cont_bps"] for r in rows}
+    # every quote shingle of doc 1 appears in doc 2 (df=2, kept) → full
+    # containment; 'copyright acme corp' has df=4 > 3 and is dropped, so
+    # docs 3-6 — which share ONLY it — never pair
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == 10000
+
+
+def test_hash_embed_kernel_matches_column_spec(spark):
+    """hash_embed_rows (Arrow kernel, the production path) is bit-equal to
+    the hash_embed Column expression (the spec the SQL oracles mirror) —
+    including empty text, repeated words, and mixed whitespace."""
+    from polipus_spark.functions.text import hash_embed, hash_embed_rows
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta beta Gamma"), (2, ""), (3, "  spaced\tout\nwords "),
+         (4, " ".join(f"w{i % 7}" for i in range(100)))],
+        "doc_id long, text string")
+    spec = {r["doc_id"]: r["e"] for r in docs.select(
+        "doc_id", hash_embed(F.col("text"), 60).alias("e")).collect()}
+    kern = {r["id"]: r["emb"]
+            for r in hash_embed_rows(docs, 60).collect()}
+    assert spec == kern
