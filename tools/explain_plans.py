@@ -215,6 +215,9 @@ def main() -> None:
         "sketch_distinct_by_type": "grouped HLL + merge (r5): registers "
         "aggregate map-side; the __all__ merge is a 64-row re-agg — "
         "input size never reaches an exchange.",
+        "dedup_containment": "containment near-dup (r5): the shingle "
+        "self-join is df-bounded (hot shingles filtered BEFORE pairing), "
+        "so pair fan-out is ≤ max_df per shingle — equi-joins only.",
     }
     for name, note in picks.items():
         sections.append((name, note, grab_plan(qs[name](spark, SF))))
