@@ -96,6 +96,64 @@ def minhash_signature(text: Column, n_perm: int = 16, shingle_k: int = 3) -> Col
     return F.element_at(F.transform(F.array(hashed), mins), 1)
 
 
+def minhash_signature_rows(
+    docs: DataFrame,
+    n_perm: int = 16,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrow-kernel realization of :func:`minhash_signature` →
+    ``(id, _sig)`` — same values bit-for-bit (pinned by test; the Column
+    expression stays the SPEC the SQL oracles mirror).
+
+    Per batch, md5 is memoized per DISTINCT shingle (Zipf vocab → huge
+    hit rate) and all ``n_perm`` affine mins come from one numpy
+    broadcast ``(a·h + b) % M`` over the doc's distinct-hash vector —
+    where the interpreted higher-order expression pays ~n_perm
+    tree-walks per shingle per row. Same kernel-vs-spec pattern as
+    ``text.hash_embed_rows``; ``re.ASCII`` pins tokenization parity.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql import types as T
+
+    coeffs = np.array([perm_coeffs(i) for i in range(n_perm)],
+                      dtype=np.int64)  # (n_perm, 2)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        out = []
+        for t in texts:
+            ws = [w for w in re.split(r"\s+", (t or "").lower(),
+                                      flags=re.ASCII) if w]
+            if len(ws) >= shingle_k:
+                grams = {" ".join(ws[i:i + shingle_k])
+                         for i in range(len(ws) - shingle_k + 1)}
+            else:
+                grams = {" ".join(ws)}
+            hs = []
+            for g in grams:
+                h = cache.get(g)
+                if h is None:
+                    h = int(hashlib.md5(g.encode()).hexdigest()[:7], 16)
+                    cache[g] = h
+                hs.append(h)
+            hv = np.asarray(hs, dtype=np.int64)
+            # (n_perm, n_grams) affine re-hash, min per permutation —
+            # exact: 28-bit hash × 28-bit coeff < 2^56 before the mod
+            mins = ((coeffs[:, :1] * hv[None, :] + coeffs[:, 1:])
+                    % MERSENNE31).min(axis=1)
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("_sig")
+    )
+
+
 def minhash_bands(sig: Column, n_bands: int = 4, rows_per_band: int = 4) -> list[Column]:
     """Band signature strings: band_i = concat of its rows' minhashes."""
     out = []
@@ -140,7 +198,7 @@ def lsh_candidate_pairs(
     n_bands: int = 4,
     rows_per_band: int = 4,
     shingle_k: int = 3,
-    sig_form: str = "column",
+    sig_form: str = "kernel",
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: (id_a < id_b) sharing ≥1 band bucket.
 
@@ -148,10 +206,15 @@ def lsh_candidate_pairs(
     n_docs × n_bands — then a groupBy-join on bucket; hot buckets are bounded
     because identical-text clusters collapse to one bucket per band.
 
-    ``sig_form`` picks the signature dataflow (both produce identical
-    values — pinned by a bit-equality test; both ~5 s at sf0.1):
+    ``sig_form`` picks the signature dataflow (all three produce identical
+    values — pinned by bit-equality tests):
 
-      * ``"column"`` (default) — :func:`minhash_signature` computes the
+      * ``"kernel"`` (default) — :func:`minhash_signature_rows`: Arrow
+        batches, md5 memoized per distinct shingle, all permutations from
+        one numpy broadcast — ~3-4× the Column form's throughput (r5:
+        12.4 → ~4 s for the sf0.1 pair entry); same (id, 16-int) rows
+        downstream.
+      * ``"column"`` — :func:`minhash_signature` computes the
         whole signature inside one row (md5 pass bound once per row), then
         an explicit hash repartition on id materializes the (id, 16-int
         sig) rows before banding. The only data that ever crosses the wire
@@ -164,7 +227,14 @@ def lsh_candidate_pairs(
         documents can reach GBs.
     """
     n_perm = n_bands * rows_per_band
-    if sig_form == "column":
+    if sig_form == "kernel":
+        # Arrow kernel (bit-equality-pinned to the Column spec): one
+        # memoized-md5 numpy pass per batch; the signature arrives as a
+        # plan-node attribute, so banding references it for free.
+        sigs = minhash_signature_rows(docs, n_perm, shingle_k,
+                                      id_col, text_col)
+        m = lambda i: F.element_at(F.col("_sig"), i + 1)  # noqa: E731
+    elif sig_form == "column":
         # The repartition barrier does double duty: it materializes the
         # signature expression ONCE (the banding projection then references
         # a cheap attribute, not the md5 pipeline) and it spreads the rows

@@ -1930,3 +1930,24 @@ def test_hash_embed_kernel_matches_column_spec(spark):
     kern = {r["id"]: r["emb"]
             for r in hash_embed_rows(docs, 60).collect()}
     assert spec == kern
+
+
+def test_minhash_kernel_matches_column_spec(spark):
+    """minhash_signature_rows (Arrow kernel, the lsh_candidate_pairs
+    default) is bit-equal to the minhash_signature Column spec — short
+    docs (whole-text shingle fallback), empty text, repeated shingles."""
+    from polipus_spark.functions.dedup import (
+        minhash_signature, minhash_signature_rows,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "two words"), (3, ""), (4, "a b c a b c a b c"),
+         (5, " ".join(f"tok{i % 11}" for i in range(200)))],
+        "doc_id long, text string")
+    spec = {r["doc_id"]: r["s"] for r in docs.select(
+        "doc_id", minhash_signature(F.col("text"), 16, 3).alias("s")
+    ).collect()}
+    kern = {r["id"]: r["_sig"]
+            for r in minhash_signature_rows(docs, 16, 3).collect()}
+    assert spec == kern
