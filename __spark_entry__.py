@@ -1918,6 +1918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_segment": q_text_bpe_segment,
         "dedup_keep_best": q_dedup_keep_best,
         "dedup_media_phash": q_dedup_media_phash,
+        "dedup_audio_fp": q_dedup_audio_fp,
         "media_decode_stats": q_media_decode_stats,
         "dedup_lines": q_dedup_lines,
         "pack_efficiency": q_pack_efficiency,
@@ -2235,6 +2236,48 @@ def q_dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = image_dhash(media)
     return hamming_near_pairs(sigs, n_bits=12, k=1,
                               id_col="doc_id", hash_col="dhash")
+
+
+def q_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup (r5): energy-delta acoustic fingerprint over
+    REAL WAV decode + Hamming pigeonhole banding — closes the dedup ×
+    modality matrix (text SimHash, embedding LSH, image dHash, video
+    frame-hash, now audio). Fixture: each doc renders a deterministic
+    mono 16-bit PCM WAV (64 samples from 8 md5 hexes) whose waveform is
+    the doc's GROUP clip (doc_id % 64) with the final sample's high byte
+    perturbed per-doc (md5(doc_id)), so same-group clips are acoustic
+    near-dups — only the last analysis frame's energy moves, touching at
+    most fingerprint bit 14 → Hamming ≤ 1 — and cross-group clips are
+    far. Plan: ONE mapInPandas decode+fingerprint pass (no shuffle; the
+    waveforms never cross the wire), then the banded equi-join sees only
+    (id, 15-bit fingerprint) rows. Oracle: DuckDB re-derives the samples
+    from the same md5 arithmetic and recomputes frame energies, delta
+    bits, banding, and xor itself — decoder, fingerprint, and join
+    semantics checked independently. (Reference analog: non-HTML bodies
+    pass through stores untyped, page.rb:125-127; this is the curation
+    layer the reference lacks.)"""
+    import struct
+
+    from polipus_spark.functions.dedup import hamming_near_pairs
+    from polipus_spark.functions.multimodal import audio_fingerprint
+
+    d = _docs(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 64).cast("string")
+    base = F.concat(*[
+        F.md5(F.concat(F.lit("afp"), g, F.lit(str(i)))) for i in range(8)
+    ])
+    hexbody = F.concat(F.substring(base, 1, 254), F.substring(F.md5(s), 1, 2))
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 128) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+           + b"data" + struct.pack("<I", 128))
+    payload = F.concat(F.to_binary(F.lit(hdr.hex()), F.lit("hex")),
+                       F.to_binary(hexbody, F.lit("hex")))
+    media = d.select("doc_id", payload.alias("payload"))
+    # 64 mono samples / frame_len 4 → 16 analysis frames → 15 delta bits
+    sigs = audio_fingerprint(media)
+    return hamming_near_pairs(sigs, n_bits=15, k=1,
+                              id_col="doc_id", hash_col="afp")
 
 
 def _entry_cdc_session(spark: SparkSession):
@@ -3453,6 +3496,52 @@ def oracle_sql() -> dict[str, str]:
           cand AS (
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                    l.sh AS sa, r.sh AS sb
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id)
+          SELECT id_a, id_b,
+                 CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+          FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+        """,
+        "dedup_audio_fp": """
+          WITH hx AS (
+            SELECT doc_id,
+                   substr(md5('afp' || CAST(doc_id % 64 AS VARCHAR) || '0')
+                       || md5('afp' || CAST(doc_id % 64 AS VARCHAR) || '1')
+                       || md5('afp' || CAST(doc_id % 64 AS VARCHAR) || '2')
+                       || md5('afp' || CAST(doc_id % 64 AS VARCHAR) || '3')
+                       || md5('afp' || CAST(doc_id % 64 AS VARCHAR) || '4')
+                       || md5('afp' || CAST(doc_id % 64 AS VARCHAR) || '5')
+                       || md5('afp' || CAST(doc_id % 64 AS VARCHAR) || '6')
+                       || md5('afp' || CAST(doc_id % 64 AS VARCHAR) || '7'),
+                       1, 254)
+                   || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+            FROM documents),
+          -- sample j (0..63) is a little-endian int16 at hex chars 4j+1..4j+4
+          sm AS (
+            SELECT doc_id, j, CASE WHEN raw < 32768 THEN raw
+                                   ELSE raw - 65536 END AS v
+            FROM (SELECT doc_id, j,
+                         CAST(concat('0x', substr(h, CAST(j*4+3 AS INT), 2),
+                                     substr(h, CAST(j*4+1 AS INT), 2))
+                              AS BIGINT) AS raw
+                  FROM hx, unnest(range(0, 64)) AS t(j))),
+          en AS (
+            SELECT doc_id, j // 4 AS f, sum(abs(v)) AS e
+            FROM sm GROUP BY doc_id, j // 4),
+          fp AS (
+            SELECT a.doc_id,
+                   CAST(sum(CASE WHEN b.e > a.e
+                            THEN 1 << CAST(a.f AS INT) ELSE 0 END) AS BIGINT)
+                     AS afp
+            FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+            GROUP BY a.doc_id),
+          banded AS (
+            SELECT doc_id, 0 AS band, afp & 255 AS bits, afp FROM fp
+            UNION ALL
+            SELECT doc_id, 1, (afp >> 8) & 127, afp FROM fp),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                   l.afp AS sa, r.afp AS sb
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.bits = r.bits AND l.doc_id < r.doc_id)
           SELECT id_a, id_b,

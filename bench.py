@@ -329,6 +329,9 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "events_funnel", "events_retention", "events_topk_per_group",
         "events_zorder", "dedup_video_frames", "sketch_distinct_by_type",
         "dedup_containment",
+        # r5 fifth batch: acoustic-fingerprint near-dup (the audio leg of
+        # the dedup × modality matrix)
+        "dedup_audio_fp",
         # (crawl_url_templates is deliberately NOT in the sweep: its cost
         # is the shared entry crawl session, not the template rollup)
     ]

@@ -686,6 +686,60 @@ def audio_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     return media.mapInPandas(_stats, out_schema)
 
 
+def audio_fingerprint(
+    media: DataFrame, payload_col: str = "payload", frame_len: int = 4
+) -> DataFrame:
+    """Acoustic fingerprint over REAL WAV decode — the audio twin of
+    :func:`image_dhash`.
+
+    Classic energy-delta-sign fingerprint (the public Haitsma–Kalker /
+    Chromaprint family idea reduced to its integer core): decode the PCM,
+    sum |int16| across channels per PCM frame, group ``frame_len`` PCM
+    frames into one analysis frame, and set fingerprint bit i iff
+    energy[i+1] > energy[i]. Two clips that differ by a small local edit
+    share all but the bits whose frames the edit touches — Hamming-close,
+    exactly like dHash under a one-pixel change. All-integer, so a SQL
+    oracle deriving the same sample bytes reproduces the fingerprint
+    bit-for-bit. mapInPandas Arrow batches, no shuffle: the decode+hash
+    pass is embarrassingly parallel map work and the near-dup join
+    downstream (:func:`polipus_spark.functions.dedup.hamming_near_pairs`)
+    sees only (id, 8-byte fingerprint) rows — at 100 TB the waveforms
+    never cross the wire. First 60 delta bits packed little-endian into
+    ONE BIGINT (same 64-bit-lane cap as dHash). Undecodable/null payloads
+    yield a null fingerprint."""
+    out_schema = T.StructType(
+        list(media.schema.fields)
+        + [
+            T.StructField("afp", T.LongType(), True),
+            T.StructField("fp_bits", T.IntegerType(), True),
+        ]
+    )
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in ("afp", "fp_bits")}
+            for p in pdf[payload_col]:
+                try:
+                    _nc, _rate, samples = decode_wav(bytes(p))
+                    a = np.abs(samples.astype(np.int64)).sum(axis=1)
+                    nf = a.size // frame_len
+                    if nf < 2:
+                        raise ValueError("too short to fingerprint")
+                    e = a[: nf * frame_len].reshape(nf, frame_len).sum(axis=1)
+                    bits = (e[1:] > e[:-1])[:60]
+                    h = 0
+                    for j in np.nonzero(bits)[0]:
+                        h |= 1 << int(j)
+                    vals = (h, int(bits.size))
+                except (ValueError, TypeError):
+                    vals = (None, None)
+                for k, v in zip(cols, vals):
+                    cols[k].append(v)
+            yield pdf.assign(**cols)
+
+    return media.mapInPandas(_fp, out_schema)
+
+
 Y4M_SIG = b"YUV4MPEG2"
 
 

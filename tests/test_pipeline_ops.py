@@ -1525,6 +1525,59 @@ def test_image_dhash_and_hamming_near_pairs(spark):
     assert image_dhash(bad).collect()[0]["dhash"] is None
 
 
+def test_audio_fingerprint_and_near_pairs(spark):
+    """Acoustic fingerprint hand-cases: flat audio → fp 0; per-frame
+    rising loudness → all delta bits; a single loud final sample moves
+    only the last bit (Hamming 1 from flat); the banded join (k=1) finds
+    exactly the near pair. Also pins stereo channel summing, the
+    too-short guard, and the undecodable→null posture."""
+    import struct
+
+    from polipus_spark.functions.dedup import hamming_near_pairs
+    from polipus_spark.functions.multimodal import audio_fingerprint
+
+    def wav(samples, n_ch=1):
+        data = struct.pack(f"<{len(samples)}h", *samples)
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, 8000,
+                                        16000 * n_ch, 2 * n_ch, 16)
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    # 32 mono samples, frame_len 4 → 8 analysis frames → 7 delta bits
+    flat = [100] * 32                                  # equal energies → 0
+    rising = [(i // 4 + 1) * 10 for i in range(32)]    # every frame louder
+    near = [100] * 32
+    near[31] = 30000                                   # only last frame moves
+    media = spark.createDataFrame(
+        [(1, wav(flat)), (2, wav(near)), (3, wav(rising))],
+        "doc_id long, payload binary")
+    sigs = audio_fingerprint(media)
+    got = {r["doc_id"]: (r["afp"], r["fp_bits"]) for r in sigs.collect()}
+    assert got[1] == (0, 7)
+    assert got[2] == (1 << 6, 7)
+    assert got[3] == ((1 << 7) - 1, 7)
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in hamming_near_pairs(
+                 sigs, n_bits=7, k=1,
+                 id_col="doc_id", hash_col="afp").collect()}
+    assert pairs == {(1, 2): 1}
+
+    # stereo: per-PCM-frame energy sums across channels before framing
+    st = wav([1, 1, 2, 2, 3, 3, 4, 4], n_ch=2)  # 4 PCM frames, 2 channels
+    got = audio_fingerprint(
+        spark.createDataFrame([(5, st)], "doc_id long, payload binary"),
+        frame_len=2).collect()[0]
+    # analysis frames: (1+1)+(2+2)=6 vs (3+3)+(4+4)=14 → bit 0 set
+    assert (got["afp"], got["fp_bits"]) == (1, 1)
+
+    # undecodable payload and a clip too short to frame → null fp
+    bad = spark.createDataFrame(
+        [(9, b"noise"), (10, wav([5] * 4))], "doc_id long, payload binary")
+    got = {r["doc_id"]: r["afp"] for r in audio_fingerprint(bad).collect()}
+    assert got == {9: None, 10: None}
+
+
 def test_dedup_near_survivor_best(spark):
     """survivor='best' keeps the most complete copy per cluster (min_id
     keeps the label); singletons survive under both policies."""
