@@ -1443,6 +1443,94 @@ def q_tpch_q14_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q4_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check (Q4 shape): EXISTS semi-join — count orders in
+    a one-quarter window that had at least one lineitem shipped AFTER the
+    order date. Spark expresses the EXISTS as a left-semi join with a
+    non-equi residual (l_shipdate > o_orderdate) on top of the orderkey
+    equi-key; Catalyst keeps the date filter pushed to the orders scan and
+    the semi-join output carries no lineitem columns — at 100 TB the probe
+    side never materializes matched rows (first-match short-circuit)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp")))
+    li = _lineitem(spark, sf_dir).select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+def q_tpch_q10_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue per customer (Q10 shape): returnflag filter →
+    lineitem ⨝ orders ⨝ broadcast customer → per-customer revenue in exact
+    integer cents → top 20. The returnflag predicate prunes the fact scan
+    before any join; the agg keys on the customer dimension."""
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(cu, o["o_custkey"] == cu["c_custkey"])
+        .groupBy(F.col("c_custkey"), F.col("c_name"))
+        .agg(F.sum(cents).alias("revenue_cents"),
+             F.count("*").alias("n_items"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q17_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (Q17 shape): the correlated scalar
+    subquery — lineitems of one brand whose quantity is below half the
+    part's average quantity — decorrelated the way Catalyst does it: one
+    per-part partial agg (sum, count as exact BIGINTs), re-joined to the
+    fact. The avg comparison q < 0.5·avg is folded to the integer-exact
+    cross-multiplication 2·q·cnt < qsum so Spark and the oracle agree on
+    boundary rows bit-for-bit (quantities are integral). Broadcast part
+    prunes the fact before the self-agg join."""
+    pa = spark.read.parquet(f"{sf_dir}/part.parquet").where(
+        F.col("p_brand") == "Brand#13")
+    li = _lineitem(spark, sf_dir)
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qsum"),
+        F.count("*").alias("cnt"))
+    cents = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .join(per_part, li["l_partkey"] == F.col("ap_partkey"))
+        .where(2 * F.col("l_quantity").cast("bigint") * F.col("cnt")
+               < F.col("qsum"))
+        .agg(F.sum(cents).alias("revenue_cents"),
+             F.count("*").cast("bigint").alias("n_items"))
+    )
+
+
+def q_tpch_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (Q18 shape): HAVING over a fact-side agg —
+    orders whose total quantity exceeds 250 — then join the surviving
+    order keys back to orders. The agg runs FIRST so the join input is the
+    ~1% survivor set, not the fact table; total quantity stays an exact
+    BIGINT (quantities are integral)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _lineitem(spark, sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata plumbing: opaque refs → typed metadata columns."""
     d = _docs(spark, sf_dir)
@@ -1874,6 +1962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_style": q_tpch_q3_style,
         "tpch_q5_style": q_tpch_q5_style,
         "tpch_q14_style": q_tpch_q14_style,
+        "tpch_q4_style": q_tpch_q4_style,
+        "tpch_q10_style": q_tpch_q10_style,
+        "tpch_q17_style": q_tpch_q17_style,
+        "tpch_q18_style": q_tpch_q18_style,
         "media_metadata": q_media_metadata,
         # --- new or changed this round ---
         "sim_ivf_topk_quantized": q_sim_ivf_topk_quantized,
@@ -4279,6 +4371,55 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY o_orderkey
           ORDER BY revenue_cents DESC, o_orderkey ASC
           LIMIT 10
+        """,
+        "tpch_q4_style": """
+          SELECT o_orderpriority, count(*) AS n_orders
+          FROM orders o
+          WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+            AND o_orderdate < TIMESTAMP '1996-10-01'
+            AND EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_shipdate > o.o_orderdate)
+          GROUP BY o_orderpriority
+        """,
+        "tpch_q10_style": """
+          SELECT c_custkey, c_name,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents,
+                 count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE l_returnflag = 'R'
+          GROUP BY c_custkey, c_name
+          ORDER BY revenue_cents DESC, c_custkey ASC
+          LIMIT 20
+        """,
+        "tpch_q17_style": """
+          WITH pp AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                     AS qsum,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey)
+          SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents,
+                 count(*) AS n_items
+          FROM lineitem li
+          JOIN part ON li.l_partkey = p_partkey
+          JOIN pp ON li.l_partkey = pp.l_partkey
+          WHERE p_brand = 'Brand#13'
+            AND 2 * CAST(round(li.l_quantity) AS BIGINT) * pp.cnt < pp.qsum
+        """,
+        "tpch_q18_style": """
+          SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+          FROM (SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                         AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING total_qty > 250) big
+          JOIN orders ON big.l_orderkey = o_orderkey
+          ORDER BY total_qty DESC, o_orderkey ASC
         """,
         "media_metadata": """
           SELECT doc_id,

@@ -330,8 +330,11 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "events_zorder", "dedup_video_frames", "sketch_distinct_by_type",
         "dedup_containment",
         # r5 fifth batch: acoustic-fingerprint near-dup (the audio leg of
-        # the dedup × modality matrix)
-        "dedup_audio_fp",
+        # the dedup × modality matrix) and the widened TPC-H family
+        # (EXISTS semi-join, top-k after join-agg, decorrelated scalar
+        # subquery, HAVING-first join)
+        "dedup_audio_fp", "tpch_q4_style", "tpch_q10_style",
+        "tpch_q17_style", "tpch_q18_style",
         # (crawl_url_templates is deliberately NOT in the sweep: its cost
         # is the shared entry crawl session, not the template rollup)
     ]
