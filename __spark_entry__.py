@@ -1531,6 +1531,59 @@ def q_tpch_q18_style(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window analytics: per-user running total (ROWS frame,
+    deterministic (ts, event_id) order) plus trailing-hour count and sum
+    (RANGE frame over epoch seconds — tie rows all enter the frame, so
+    the result is order-independent). The window partitions on user_id:
+    one shuffle, then every frame is computed in a single sorted pass per
+    partition — no self-join, no explode; at 100 TB the cost is the one
+    keyed exchange the semantics require. Values in exact integer cents."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"))
+    w_cum = (Window.partitionBy("user_id").orderBy("es", "event_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_hr = (Window.partitionBy("user_id").orderBy("es")
+            .rangeBetween(-3600, 0))
+    return base.select(
+        "event_id", "user_id",
+        F.sum("v_cents").over(w_cum).alias("cum_cents"),
+        F.count("*").over(w_hr).alias("n_last_hour"),
+        F.sum("v_cents").over(w_hr).alias("cents_last_hour"))
+
+
+def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact outlier detection: flag events more than 3 standard
+    deviations from their event_type's mean. The z-test is folded to the
+    cross-multiplied integer predicate (n·v − S)² > 9·(n·Q − S²) with
+    S = Σv, Q = Σv² in cents, so Spark and the oracle agree on boundary
+    rows bit-for-bit (no float sqrt/division). Sums and products run in
+    DECIMAL(38,0) (HUGEINT on the oracle side) — headroom to ~10¹³ rows
+    per type before overflow. Plan: one partial agg over the fact (5
+    groups), broadcast back, map-side predicate — a single scan plus a
+    5-row broadcast at any scale."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id", "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"))
+    stats = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v_cents").cast("decimal(20,0)")).alias("s"),
+        F.sum((F.col("v_cents") * F.col("v_cents"))
+              .cast("decimal(20,0)")).alias("q"))
+    j = base.join(F.broadcast(stats), "event_type")
+    d = (F.col("n").cast("decimal(18,0)") * F.col("v_cents").cast("decimal(18,0)")
+         - F.col("s"))
+    rhs = (F.lit(9).cast("decimal(2,0)")
+           * (F.col("n").cast("decimal(18,0)") * F.col("q")
+              - F.col("s") * F.col("s")))
+    return j.select("event_id", "event_type", "v_cents",
+                    (d * d > rhs).alias("is_outlier"))
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata plumbing: opaque refs → typed metadata columns."""
     d = _docs(spark, sf_dir)
@@ -1966,6 +2019,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10_style": q_tpch_q10_style,
         "tpch_q17_style": q_tpch_q17_style,
         "tpch_q18_style": q_tpch_q18_style,
+        "events_rolling": q_events_rolling,
+        "events_outliers": q_events_outliers,
         "media_metadata": q_media_metadata,
         # --- new or changed this round ---
         "sim_ivf_topk_quantized": q_sim_ivf_topk_quantized,
@@ -4410,6 +4465,38 @@ def oracle_sql() -> dict[str, str]:
           JOIN pp ON li.l_partkey = pp.l_partkey
           WHERE p_brand = 'Brand#13'
             AND 2 * CAST(round(li.l_quantity) AS BIGINT) * pp.cnt < pp.qsum
+        """,
+        "events_rolling": """
+          WITH base AS (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                   CAST(round(value * 100) AS BIGINT) AS v_cents
+            FROM events)
+          SELECT event_id, user_id,
+                 CAST(sum(v_cents) OVER (PARTITION BY user_id
+                      ORDER BY es, event_id ROWS UNBOUNDED PRECEDING)
+                      AS BIGINT) AS cum_cents,
+                 CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+                 CAST(sum(v_cents) OVER w AS BIGINT) AS cents_last_hour
+          FROM base
+          WINDOW w AS (PARTITION BY user_id ORDER BY es
+                       RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        """,
+        "events_outliers": """
+          WITH base AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS v_cents
+            FROM events),
+          st AS (
+            SELECT event_type, count(*) AS n,
+                   sum(CAST(v_cents AS HUGEINT)) AS s,
+                   sum(CAST(v_cents AS HUGEINT) * v_cents) AS q
+            FROM base GROUP BY event_type)
+          SELECT event_id, b.event_type, v_cents,
+                 (CAST(n AS HUGEINT) * v_cents - s)
+               * (CAST(n AS HUGEINT) * v_cents - s)
+               > 9 * (CAST(n AS HUGEINT) * q - s * s) AS is_outlier
+          FROM base b JOIN st USING (event_type)
         """,
         "tpch_q18_style": """
           SELECT o_orderkey, o_custkey, o_orderdate, total_qty
