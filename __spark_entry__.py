@@ -1314,6 +1314,24 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_centroids=8, k=5, n_probe=2)
 
 
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph construction (r5): EVERY vector finds its top-3 neighbors
+    inside its own inverted list (query side = the whole corpus,
+    n_probe=1) — the primitive under SemDeDup-style clustering, label
+    propagation, and NN-Descent seeding, distinct from the serving-path
+    entries whose query side is a handful of vectors. Plan: the IVF
+    assignment co-locates each list, so the within-list self-join scores
+    Σ|list|² pairs instead of n² global — at 100 TB the list width is the
+    quadratic term and the centroid count caps it. Output ranks are exact
+    integers (float cosine orders, neighbor id breaks ties). Execution is
+    the Arrow kernel (one normalized matmul per list); semantics ==
+    ivf_topk(emb, emb, n_probe=1), pinned by test."""
+    from polipus_spark.functions.similarity import knn_graph
+
+    emb = _emb(spark, sf_dir)
+    return knn_graph(emb, n_centroids=8, k=3)
+
+
 def q_sim_ivf_topk_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actual 100 TB ANN serving layout: persisted IVF index carrying
     int8 codes + scale BESIDE the float column, probed with DPP. Scoring
@@ -2120,6 +2138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
+        "sim_knn_graph": q_sim_knn_graph,
     }
     # r5 rotation (r4 VERDICT #6, "keep the ledger rotation honest"):
     # priority 0 = no r4 driver row (29 entries + the two new r5 ones),
@@ -4363,6 +4382,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings n ON n.vec_id = a.neighbor_id
             WHERE p.query_id <> a.neighbor_id)
           WHERE rank <= 5
+        """,
+        "sim_knn_graph": """
+          WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cent
+            FROM embeddings ORDER BY vec_id LIMIT 8),
+          assign AS (
+            SELECT vec_id AS neighbor_id, centroid_id FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                                c.centroid_id ASC) AS _rn
+              FROM embeddings e, cents c)
+            WHERE _rn = 1)
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+            SELECT qa.neighbor_id AS query_id, a.neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY qa.neighbor_id
+                     ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                              a.neighbor_id ASC) AS rank
+            FROM assign qa
+            JOIN assign a ON a.centroid_id = qa.centroid_id
+            JOIN embeddings q ON q.vec_id = qa.neighbor_id
+            JOIN embeddings n ON n.vec_id = a.neighbor_id
+            WHERE qa.neighbor_id <> a.neighbor_id)
+          WHERE rank <= 3
         """,
         "sim_ivf_assign": """
           WITH cents AS (

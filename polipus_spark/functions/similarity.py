@@ -248,6 +248,65 @@ def ivf_topk(
     )
 
 
+def knn_graph(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN graph: every vector's top-``k`` cosine neighbors within its own
+    inverted list (the n_probe=1 special case of :func:`ivf_topk` where the
+    query side is the whole corpus).
+
+    Semantics are EXACTLY ``ivf_topk(corpus, corpus, n_centroids, k,
+    n_probe=1)`` — same seed centroids, same (cosine desc, id asc)
+    ranking, self excluded — pinned by test. The execution differs: the
+    all-pairs-within-list scoring that dominates (Σ|list|² cosines) runs
+    as ONE normalized Arrow matmul per list inside applyInPandas instead
+    of |list|² interpreted Column folds — the same kernel-vs-expression
+    lesson as lsh_band_rows (r5 bench gotchas). Plan: assignment is a
+    broadcast argmax (no corpus shuffle), then ONE groupBy(centroid_id)
+    exchange; list width n/K is the quadratic term — at 100 TB you raise
+    ``n_centroids`` to cap it, exactly like the IVF serving path."""
+    from pyspark.sql import types as T
+
+    cents = seed_centroids(corpus, n_centroids, id_col, vec_col)
+    corpus_v = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    lists = corpus_v.join(_assign_to(corpus_v, cents), "vec_id")
+
+    out_schema = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+
+    def _topk(_key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        V = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(V, axis=1)
+        nrm[nrm == 0] = 1.0
+        S = (V / nrm[:, None]) @ (V / nrm[:, None]).T
+        q_out, n_out, r_out = [], [], []
+        for i in range(len(ids)):
+            mask = np.arange(len(ids)) != i
+            cand = np.nonzero(mask)[0]
+            # (score desc, neighbor id asc): lexsort keys are last-primary
+            order = cand[np.lexsort((ids[cand], -S[i, cand]))][:k]
+            for r, j in enumerate(order, 1):
+                q_out.append(int(ids[i]))
+                n_out.append(int(ids[j]))
+                r_out.append(r)
+        return pd.DataFrame(
+            {"query_id": q_out, "neighbor_id": n_out, "rank": r_out})
+
+    return lists.groupBy("centroid_id").applyInPandas(_topk, out_schema)
+
+
 def near_dup_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,

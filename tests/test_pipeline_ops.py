@@ -780,6 +780,27 @@ def test_lsh_kernel_matches_column_spec(spark):
         assert kernel == spec
 
 
+def test_knn_graph_kernel_matches_ivf_topk_spec(spark):
+    """knn_graph (Arrow matmul per inverted list) must reproduce
+    ivf_topk(emb, emb, n_probe=1) — the Column executable spec the DuckDB
+    oracle inlines — exactly: same seed centroids, same (cosine desc, id
+    asc) ranking, self excluded. Any summation-order divergence between
+    the BLAS matmul and the sequential Column fold that flipped a rank
+    would show up here. Also checks basic shape: k rows per query when
+    the list is wide enough, no self edges."""
+    from polipus_spark.functions.similarity import ivf_topk, knn_graph
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for n_centroids, k in [(4, 3), (8, 2)]:
+        kernel = {(r["query_id"], r["neighbor_id"], r["rank"])
+                  for r in knn_graph(emb, n_centroids, k).collect()}
+        spec = {(r["query_id"], r["neighbor_id"], r["rank"])
+                for r in ivf_topk(emb, emb, n_centroids=n_centroids, k=k,
+                                  n_probe=1).collect()}
+        assert kernel == spec
+        assert all(q != n for q, n, _ in kernel)
+
+
 def test_near_dup_lsh_default_recall(spark):
     """LSH-prefiltered near_dup_pairs (the default path): subset of exact
     pairs with recall ≥ 0.6 at threshold 0.4 when banded for that range
