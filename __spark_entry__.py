@@ -1602,6 +1602,54 @@ def q_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (d * d > rhs).alias("is_outlier"))
 
 
+def _tricky_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with escaping landmines injected into text: a double
+    quote, a comma, an embedded newline, and non-ASCII UTF-8 — the
+    characters that break naive JSON/CSV writers. Shared by both
+    interchange round-trip entries; the oracle rebuilds the same string."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.concat(F.lit('q"c,\n'), F.col("text"), F.lit("é€")).alias("text"))
+
+
+def q_io_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus interchange, JSONL (r5): export documents (with injected
+    quote/comma/newline/non-ASCII landmines) as line-delimited JSON, read
+    the directory back with an explicit schema, and emit md5(text) per
+    doc. The oracle computes the same md5 straight off the parquet table
+    — so the entry is green iff the write+read cycle is byte-lossless
+    (JSON string escaping, UTF-8, schema-on-read types). JSONL is the
+    scale-path export: splittable, one object per line, no inference
+    pass. (Reference analog: pluggable page stores, storage/*.rb — the
+    reference has no corpus export; this is curation-layer plumbing.)"""
+    from polipus_spark.sources.interchange import export_jsonl, read_jsonl
+
+    d = _tricky_docs(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "polipus_io_jsonl")
+    export_jsonl(d, out)
+    back = read_jsonl(spark, out, d.schema)
+    return back.select("doc_id", "lang", "source", "n_chars",
+                       F.md5("text").alias("text_md5"))
+
+
+def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus interchange, CSV (r5): the RFC-4180 twin of the JSONL
+    round trip — header row, quoted fields, embedded quotes doubled,
+    multiLine read for the quoted newline. Same landmine fixture, same
+    oracle: green iff quoting/escaping is byte-lossless. The module
+    docstring records the scale caveat (multiLine CSV is not splittable;
+    JSONL is the wide-export path)."""
+    from polipus_spark.sources.interchange import export_csv, read_csv
+
+    d = _tricky_docs(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "polipus_io_csv")
+    export_csv(d, out)
+    back = read_csv(spark, out, d.schema)
+    return back.select("doc_id", "lang", "source", "n_chars",
+                       F.md5("text").alias("text_md5"))
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata plumbing: opaque refs → typed metadata columns."""
     d = _docs(spark, sf_dir)
@@ -2039,6 +2087,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_style": q_tpch_q18_style,
         "events_rolling": q_events_rolling,
         "events_outliers": q_events_outliers,
+        "io_jsonl_roundtrip": q_io_jsonl_roundtrip,
+        "io_csv_roundtrip": q_io_csv_roundtrip,
         "media_metadata": q_media_metadata,
         # --- new or changed this round ---
         "sim_ivf_topk_quantized": q_sim_ivf_topk_quantized,
@@ -4510,6 +4560,16 @@ def oracle_sql() -> dict[str, str]:
           JOIN pp ON li.l_partkey = pp.l_partkey
           WHERE p_brand = 'Brand#13'
             AND 2 * CAST(round(li.l_quantity) AS BIGINT) * pp.cnt < pp.qsum
+        """,
+        "io_jsonl_roundtrip": """
+          SELECT doc_id, lang, source, n_chars,
+                 md5('q"c,' || chr(10) || text || 'é€') AS text_md5
+          FROM documents
+        """,
+        "io_csv_roundtrip": """
+          SELECT doc_id, lang, source, n_chars,
+                 md5('q"c,' || chr(10) || text || 'é€') AS text_md5
+          FROM documents
         """,
         "events_rolling": """
           WITH base AS (
