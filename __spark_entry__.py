@@ -1650,6 +1650,41 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.md5("text").alias("text_md5"))
 
 
+def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (r5): orders and lineitem are written
+    bucketBy(8, orderkey) + sortBy into catalog tables, then joined on
+    the bucket key and rolled up to revenue per order status. Because
+    both sides hash-partition identically ON DISK, the join plans with
+    ZERO Exchange operators (pinned by test with broadcast disabled) —
+    at 100 TB this converts the dominant per-query shuffle of a
+    repeatedly-joined fact pair into a one-time write-side cost. The
+    oracle runs the same join over the raw parquet: bucketing must be a
+    pure layout change, never a semantic one."""
+    import os
+
+    from polipus_spark.operators.bucketing import read_bucketed, write_bucketed
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus")
+    li = _lineitem(spark, sf_dir).select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint").alias("v_cents"))
+    base = os.path.join(tempfile.gettempdir(), "polipus_bucketed")
+    write_bucketed(o, "polipus_b_orders", "o_orderkey", 8,
+                   os.path.join(base, "orders"))
+    write_bucketed(li, "polipus_b_lineitem", "l_orderkey", 8,
+                   os.path.join(base, "lineitem"))
+    bo = read_bucketed(spark, "polipus_b_orders")
+    bl = read_bucketed(spark, "polipus_b_lineitem")
+    return (
+        bl.join(bo, bl["l_orderkey"] == bo["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(F.sum("v_cents").alias("revenue_cents"),
+             F.count("*").alias("n_items"))
+    )
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata plumbing: opaque refs → typed metadata columns."""
     d = _docs(spark, sf_dir)
@@ -2089,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_outliers": q_events_outliers,
         "io_jsonl_roundtrip": q_io_jsonl_roundtrip,
         "io_csv_roundtrip": q_io_csv_roundtrip,
+        "io_bucketed_join": q_io_bucketed_join,
         "media_metadata": q_media_metadata,
         # --- new or changed this round ---
         "sim_ivf_topk_quantized": q_sim_ivf_topk_quantized,
@@ -4560,6 +4596,14 @@ def oracle_sql() -> dict[str, str]:
           JOIN pp ON li.l_partkey = pp.l_partkey
           WHERE p_brand = 'Brand#13'
             AND 2 * CAST(round(li.l_quantity) AS BIGINT) * pp.cnt < pp.qsum
+        """,
+        "io_bucketed_join": """
+          SELECT o_orderstatus,
+                 CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents,
+                 count(*) AS n_items
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          GROUP BY o_orderstatus
         """,
         "io_jsonl_roundtrip": """
           SELECT doc_id, lang, source, n_chars,

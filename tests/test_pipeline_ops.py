@@ -2058,3 +2058,43 @@ def test_interchange_roundtrips_lossless(spark, tmp_path):
             want = [tuple(None if v == "" else v for v in r) for r in want]
             got = [tuple(r) for r in got]
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_bucketed_join_plans_zero_exchange(spark, tmp_path):
+    """Co-bucketed tables join with NO Exchange on either side (the whole
+    point of the layout), while the identical join over plain parquet
+    shuffles — both asserted on the executed plan with broadcast joins
+    disabled. Results must match the plain-parquet join exactly."""
+    from polipus_spark.operators.bucketing import read_bucketed, write_bucketed
+
+    left = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("a"))
+    right = spark.range(0, 2000).select(
+        F.col("id").alias("k"), (F.col("id") % 13).alias("b"))
+    write_bucketed(left, "t_bkt_left", "k", 4, str(tmp_path / "l"))
+    write_bucketed(right, "t_bkt_right", "k", 4, str(tmp_path / "r"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bl = read_bucketed(spark, "t_bkt_left")
+        br = read_bucketed(spark, "t_bkt_right")
+        j = bl.join(br, "k").groupBy("a").agg(F.sum("b").alias("sb"))
+        j.collect()  # materialize so the ADAPTIVE final plan is inspectable
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        # the groupBy's own exchange (on a) is fine; the join key must
+        # never be shuffled — both bucketed scans feed the SMJ directly
+        assert "Exchange hashpartitioning(k#" not in plan
+
+        pj = left.join(right, "k").groupBy("a").agg(F.sum("b").alias("sb"))
+        pj.collect()
+        pplan = pj._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning(k#" in pplan
+
+        got = {(r["a"], r["sb"]) for r in j.collect()}
+        want = {(r["a"], r["sb"]) for r in pj.collect()}
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
