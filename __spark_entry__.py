@@ -533,6 +533,17 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_quality_score(_docs(spark, sf_dir))
 
 
+def q_text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (r5): tf · (⌊1000·log2 N⌋ −
+    ⌊1000·log2 df⌋) — both log2s on integers IN-ENGINE (N via a broadcast
+    1-row count), so every rank boundary is exact cross-engine. The
+    keyword extractor that pairs with BM25 (query-side) and vocab_topk
+    (corpus-side)."""
+    from polipus_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy first-fit sequence packing of 64-word chunks into 256-word
     budgets (hash-binned applyInPandas; deterministic at any parallelism).
@@ -2200,6 +2211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "text_vocab_topk": q_text_vocab_topk,
         "text_lm_score": q_text_lm_score,
+        "text_tfidf_topk": q_text_tfidf_topk,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3926,6 +3938,28 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest({ws}) AS token FROM documents)
             GROUP BY token)
           WHERE rank <= 100
+        """,
+        "text_tfidf_topk": f"""
+          WITH toks AS (
+            SELECT doc_id, unnest({ws}) AS token FROM documents),
+          tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM toks GROUP BY doc_id, token),
+          dfreq AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token),
+          nd AS (SELECT count(*) AS n FROM documents),
+          scored AS (
+            SELECT doc_id, token,
+                   tf * (CAST(floor(1000.0 * log2(n)) AS BIGINT)
+                       - CAST(floor(1000.0 * log2(df)) AS BIGINT)) AS score
+            FROM tf JOIN dfreq USING (token), nd)
+          SELECT doc_id, token, CAST(score AS BIGINT) AS score,
+                 CAST(rank AS INT) AS rank
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score DESC, token ASC) AS rank
+                FROM scored)
+          WHERE rank <= 3
         """,
         "text_lm_score": f"""
           WITH toks AS (

@@ -300,6 +300,43 @@ def lm_quality_score(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def tfidf_top_terms(docs, k: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top-``k`` TF-IDF terms — the classic keyword
+    extractor, integer-exact.
+
+    score = tf · (⌊1000·log2(N)⌋ − ⌊1000·log2(df)⌋): both log2 calls run
+    on INTEGERS inside the engine (N comes from a broadcast 1-row count,
+    never a driver-side float), the same floor-scaled idiom as
+    :func:`lm_quality_score`, so Spark and a SQL oracle agree on every
+    rank boundary. Plan: one (doc, token) groupBy for tf, a vocab-sized
+    groupBy for df (broadcastable), one join, one per-doc window —
+    at 100 TB the only wide exchange is the token-keyed tf groupBy.
+    Output: (doc_id, token, score, rank), rank 1..k by
+    (score desc, token asc)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(words(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count("*").alias("_nd"))
+    lg = lambda c: F.floor(F.lit(1000.0) * F.log2(c)).cast("bigint")
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(nd))
+        .withColumn("score", F.col("tf") * (lg(F.col("_nd")) - lg(F.col("df"))))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "score",
+                F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def hash_embed(text: Column, dim: int = 16) -> Column:
     """Feature-hashing (hashing-trick) document embedding — Weinberger et
     al. 2009, the sklearn ``HashingVectorizer`` construction — as a pure

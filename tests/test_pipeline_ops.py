@@ -2098,3 +2098,24 @@ def test_bucketed_join_plans_zero_exchange(spark, tmp_path):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_tfidf_top_terms_hand_case(spark):
+    """TF-IDF hand case: a term appearing in every doc scores 0 (idf
+    floor-log delta = 0), a doc-unique term outranks it, tf multiplies,
+    and the (score desc, token asc) tie-break is deterministic."""
+    from polipus_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common zebra"),
+         (3, "common apple banana")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["token"], r["score"])
+           for r in tfidf_top_terms(docs, k=2).collect()}
+    # N=3: lg(3)=1584, lg(1)=0, lg(3)-lg(3)=0 for 'common'
+    assert got[(1, 1)] == ("rare", 2 * 1584)
+    assert got[(1, 2)] == ("common", 0)
+    assert got[(2, 1)] == ("zebra", 1584)
+    # doc 3: apple/banana tie at 1584 -> token asc breaks it
+    assert got[(3, 1)] == ("apple", 1584)
+    assert got[(3, 2)] == ("banana", 1584)
