@@ -507,6 +507,19 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling (r5): every source stratum trimmed to
+    EXACTLY the rarest stratum's count by deterministic md5 rank — the
+    rebalancing step of a training mix, with the floor count arriving as
+    a broadcast 1-row min (no driver collect). Stratifies on the stored
+    lang column (genuinely skewed: en dominates ~3×), so the trim is
+    non-trivial — every class lands at exactly the rarest class's count."""
+    from polipus_spark.functions.sampling import balanced_sample
+
+    d = _docs(spark, sf_dir)
+    return balanced_sample(d, "lang").select("doc_id", "lang")
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training sequence prep: overlapping 64-word windows (step 56) per
     doc — map-only explode, no shuffle."""
@@ -2207,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_pii_scrub": q_text_pii_scrub,
         "sample_stratified": q_sample_stratified,
+        "sample_balanced": q_sample_balanced,
         "text_chunking": q_text_chunking,
         "corpus_stats": q_corpus_stats,
         "text_vocab_topk": q_text_vocab_topk,
@@ -3668,6 +3682,18 @@ def oracle_sql() -> dict[str, str]:
                           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                         ELSE '' END AS t2
             FROM documents)
+        """,
+        "sample_balanced": """
+          WITH c AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+          m AS (SELECT min(n) AS m FROM c),
+          r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+            FROM documents)
+          SELECT doc_id, lang FROM r, m WHERE rk <= m
         """,
         "sample_stratified": f"""
           SELECT doc_id, lang FROM (

@@ -127,3 +127,39 @@ def dsir_weights(
             F.coalesce("weight", F.lit(0)).cast("bigint").alias("weight"),
         )
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Equalize class sizes: keep EXACTLY min-class-count rows per stratum.
+
+    The rebalancing step of a training mix (downsample every class to the
+    rarest class's size). Selection is a deterministic md5 rank within
+    each stratum — (md5(salt||id) asc, id asc) — so the same rows survive
+    on every run, at any parallelism, and the kept set for a given class
+    is stable as OTHER classes grow. The floor count arrives via a
+    broadcast 1-row min — never a driver-side collect.
+
+    Scale note: the per-stratum row_number is a sort of each class — the
+    one operator here that pays at 100 TB. It shuffles once on the
+    stratum key; if the majority class dominates a partition, pre-filter
+    with :func:`hash_bps` to a few× the target before ranking (an
+    over-sample that preserves exactness as long as the prefilter keeps
+    ≥ min-count rows per class) or salt the sort. Kept exact here —
+    correctness first, the prefilter is the documented optimization."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("_n"))
+    floor_n = counts.agg(F.min("_n").alias("_m"))
+    rank_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(floor_n))
+        .where(F.col("_rk") <= F.col("_m"))
+        .drop("_rk", "_m")
+    )

@@ -2119,3 +2119,29 @@ def test_tfidf_top_terms_hand_case(spark):
     # doc 3: apple/banana tie at 1584 -> token asc breaks it
     assert got[(3, 1)] == ("apple", 1584)
     assert got[(3, 2)] == ("banana", 1584)
+
+
+def test_balanced_sample_exact_floor_and_stability(spark):
+    """Every stratum lands at exactly the min class count; the kept set
+    for a class is stable when OTHER classes grow (md5-rank selection is
+    within-class only); singleton-min edge works."""
+    from polipus_spark.functions.sampling import balanced_sample
+
+    rows = [(i, "big") for i in range(10)] + \
+           [(100 + i, "mid") for i in range(5)] + \
+           [(200, "rare"), (201, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, cls string")
+    out = balanced_sample(df, "cls").collect()
+    by_cls = {}
+    for r in out:
+        by_cls.setdefault(r["cls"], set()).add(r["doc_id"])
+    assert {k: len(v) for k, v in by_cls.items()} == {
+        "big": 2, "mid": 2, "rare": 2}
+
+    # grow an unrelated class: the kept 'mid' set must not change
+    df2 = spark.createDataFrame(
+        rows + [(300 + i, "big") for i in range(10)],
+        "doc_id long, cls string")
+    out2 = balanced_sample(df2, "cls").collect()
+    mid2 = {r["doc_id"] for r in out2 if r["cls"] == "mid"}
+    assert mid2 == by_cls["mid"]
