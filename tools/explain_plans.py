@@ -218,9 +218,54 @@ def main() -> None:
         "dedup_containment": "containment near-dup (r5): the shingle "
         "self-join is df-bounded (hot shingles filtered BEFORE pairing), "
         "so pair fan-out is ≤ max_df per shingle — equi-joins only.",
+        "dedup_audio_fp": "audio near-dup (r5): ONE mapInPandas "
+        "decode+fingerprint pass (waveforms never shuffle), then the "
+        "pigeonhole band equi-join over (id, 15-bit fp) rows only.",
+        "tpch_q4_style": "EXISTS as LeftSemi hash join with the non-equi "
+        "residual (l_shipdate > o_orderdate) on top of the orderkey "
+        "equi-key; the quarter window is in the orders scan's "
+        "PushedFilters.",
+        "tpch_q17_style": "decorrelated scalar subquery: the per-part "
+        "partial agg re-joins the fact; broadcast part prunes BEFORE the "
+        "agg join; the avg predicate is integer cross-multiplication "
+        "(2·q·cnt < qsum) — no float boundary.",
+        "tpch_q18_style": "HAVING-first: the fact-side agg + filter runs "
+        "below the orders join, so the join probe side is the ~1% "
+        "survivor set.",
+        "events_rolling": "rolling analytics: ONE exchange on user_id, "
+        "then both ROWS and RANGE frames compute in a single "
+        "WindowExec sort pass — no self-join, no explode.",
+        "events_outliers": "3σ outliers: partial agg → 5-row broadcast "
+        "back → map-side DECIMAL(38) predicate; one scan + one tiny "
+        "broadcast at any scale.",
+        "sim_knn_graph": "kNN graph (r5): broadcast argmax assignment "
+        "(no corpus shuffle) → ONE groupBy(centroid) exchange → per-list "
+        "Arrow matmul in FlatMapGroupsInPandas; Σ|list|² is the only "
+        "quadratic term and n_centroids caps it.",
+        "io_bucketed_join": "co-bucketed join (r5): both scans say "
+        "'Bucketed: true' and feed the SortMergeJoin with NO Exchange "
+        "on the join key — the only exchange in the plan is the "
+        "groupBy's own; compare tpch_q3_style where both sides shuffle.",
+        "text_tfidf_topk": "TF-IDF keywords: token-keyed tf groupBy is "
+        "the only wide exchange; df joins at vocab size; N arrives as a "
+        "broadcast 1-row cross join so log2 runs in-engine.",
+        "sample_balanced": "balanced downsample: within-class md5-rank "
+        "window (one stratum-key exchange) + broadcast 1-row floor "
+        "count — no driver collect anywhere.",
     }
+    # picks whose demonstrated property only shows with broadcast joins
+    # off (at sf0.01 AQE would broadcast the small side and mask it)
+    no_broadcast = {"io_bucketed_join"}
     for name, note in picks.items():
-        sections.append((name, note, grab_plan(qs[name](spark, SF))))
+        if name in no_broadcast:
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                sections.append((name, note, grab_plan(qs[name](spark, SF))))
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        else:
+            sections.append((name, note, grab_plan(qs[name](spark, SF))))
 
     # the fetch join: wave (small) vs docs (huge) — broadcast the wave side.
     # NB a broadcast(wave) right_outer hint is SILENTLY UNSUPPORTED (Spark
