@@ -2145,3 +2145,38 @@ def test_balanced_sample_exact_floor_and_stability(spark):
     out2 = balanced_sample(df2, "cls").collect()
     mid2 = {r["doc_id"] for r in out2 if r["cls"] == "mid"}
     assert mid2 == by_cls["mid"]
+
+
+def test_hamming_near_pairs_matches_bruteforce_sweep(spark):
+    """Randomized (seeded) equivalence sweep for the pigeonhole banding
+    shared by SimHash text, image dHash, and the audio fingerprint:
+    banded join results == exhaustive O(n²) pair enumeration for every
+    (n_bits, k) config in use — banding must be a pure candidate
+    prefilter, never a semantics change."""
+    import random
+
+    from polipus_spark.functions.dedup import hamming_near_pairs
+
+    rng = random.Random(20260818)
+    for n_bits, k in [(12, 1), (15, 1), (60, 3)]:
+        rows = [(i, rng.getrandbits(n_bits)) for i in range(200)]
+        # force some near pairs: clones of row 0 with 0..k bits flipped
+        base = rows[0][1]
+        for j in range(1, k + 2):
+            flipped = base
+            for b in rng.sample(range(n_bits), j - 1):
+                flipped ^= 1 << b
+            rows.append((1000 + j, flipped))
+        sigs = spark.createDataFrame(rows, "id long, sh long")
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in hamming_near_pairs(sigs, n_bits=n_bits, k=k).collect()}
+        want = set()
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                (ia, ha), (ib, hb) = rows[i], rows[j]
+                if ia > ib:
+                    ia, ib, ha, hb = ib, ia, hb, ha
+                d = bin(ha ^ hb).count("1")
+                if d <= k:
+                    want.add((ia, ib, d))
+        assert got == want, (n_bits, k)
