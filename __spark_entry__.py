@@ -421,6 +421,22 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                              shingle_k=3, max_df=20)
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (r5): Broder containment of corpus docs
+    against a held-out benchmark slice (doc_id % 10 == 7 poses as the
+    eval set; the rest is the training corpus). Catches lightly-edited
+    benchmark leakage the exact 8-gram screen misses: containment is
+    measured against the BENCHMARK's shingle count, so a near-whole quote
+    inside a long doc scores ~1 where Jaccard dilutes. Benchmark shingles
+    broadcast — the corpus never shuffles on text."""
+    from polipus_spark.functions.dedup import cross_containment
+
+    d = _docs(spark, sf_dir)
+    corpus = d.where(F.col("doc_id") % 10 != 7)
+    bench = d.where(F.col("doc_id") % 10 == 7)
+    return cross_containment(corpus, bench, min_cont_bps=6000, shingle_k=3)
+
+
 def q_sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023) in exact fixed-point:
     target = the English slice, raw = the whole corpus; per-bucket
@@ -2239,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "dedup_substring_scrub": q_dedup_substring_scrub,
         "dedup_containment": q_dedup_containment,
+        "decontaminate_fuzzy": q_decontaminate_fuzzy,
         "sample_dsir": q_sample_dsir,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
@@ -4281,6 +4298,38 @@ def oracle_sql() -> dict[str, str]:
           JOIN sizes sa ON sa.id = i.id_a
           JOIN sizes sb ON sb.id = i.id_b
           WHERE i.inter * 10000 >= 8000 * least(sa.n, sb.n)
+        """,
+        "decontaminate_fuzzy": """
+          WITH d AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               x -> x <> '') AS ws
+            FROM documents
+          ),
+          sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   CAST(concat('0x', substr(md5(
+                     CASE WHEN len(ws) >= 3
+                          THEN array_to_string(ws[i.i:i.i+2], ' ')
+                          ELSE array_to_string(ws, ' ') END), 1, 15))
+                     AS BIGINT) AS g
+            FROM d, unnest(range(1, greatest(len(ws) - 1, 2))) i(i)
+          ),
+          cs AS (SELECT id AS doc_id, g FROM sh WHERE id % 10 <> 7),
+          bs AS (SELECT id AS bench_id, g FROM sh WHERE id % 10 = 7),
+          bsz AS (SELECT bench_id, count(*) AS n_bench FROM bs
+                  GROUP BY bench_id),
+          inter AS (
+            SELECT cs.doc_id, bs.bench_id, count(*) AS inter
+            FROM cs JOIN bs USING (g)
+            GROUP BY 1, 2
+          )
+          SELECT i.doc_id, i.bench_id,
+                 CAST(i.inter AS BIGINT) AS inter,
+                 CAST(b.n_bench AS BIGINT) AS n_bench,
+                 CAST(i.inter * 10000 // b.n_bench AS BIGINT) AS cont_bps
+          FROM inter i JOIN bsz b USING (bench_id)
+          WHERE i.inter * 10000 >= 6000 * b.n_bench
         """,
         "sample_dsir": """
           WITH wb AS (

@@ -337,7 +337,7 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "tpch_q17_style", "tpch_q18_style", "events_rolling",
         "events_outliers", "sim_knn_graph", "io_jsonl_roundtrip",
         "io_csv_roundtrip", "io_bucketed_join", "text_tfidf_topk",
-        "sample_balanced",
+        "sample_balanced", "decontaminate_fuzzy",
         # (crawl_url_templates is deliberately NOT in the sweep: its cost
         # is the shared entry crawl session, not the template rollup)
     ]

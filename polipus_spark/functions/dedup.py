@@ -1106,3 +1106,64 @@ def containment_pairs(
             .alias("cont_bps"),
         )
     )
+
+
+def cross_containment(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    min_cont_bps: int = 8000,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fuzzy decontamination: corpus docs whose shingle overlap COVERS a
+    benchmark item — the near-duplicate leakage that the exact 8-gram
+    screen (:mod:`polipus_spark.functions.decontam`) misses when the
+    benchmark text was lightly edited.
+
+    Asymmetric Broder containment against the BENCHMARK's distinct
+    shingle count: cont = |corpus ∩ bench| / |bench| — a benchmark item
+    quoted (near-)whole inside a long training doc scores ~1 regardless
+    of the doc's length, exactly the case Jaccard dilutes away. Exact
+    integers end to end.
+
+    Plan: the benchmark side is eval-set-sized, so its distinct shingles
+    BROADCAST; the corpus side explodes map-side and probes with a
+    broadcast equi-join on the 60-bit shingle hash — the corpus is never
+    shuffled on text, only the narrow (corpus_id, bench_id) hit counts
+    aggregate. No df filter needed: fan-out per corpus shingle is bounded
+    by the benchmark's df, not the corpus's. Output:
+    ``(doc_id, bench_id, inter, n_bench, cont_bps >= min_cont_bps)``."""
+    cs = (
+        corpus.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("gram"),
+        )
+        .select("doc_id", h60_str(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    bs = (
+        benchmark.select(
+            F.col(id_col).alias("bench_id"),
+            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("gram"),
+        )
+        .select("bench_id", h60_str(F.col("gram")).alias("g"))
+        .distinct()
+    )
+    bsizes = bs.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
+    inter = (
+        cs.join(F.broadcast(bs), "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(F.broadcast(bsizes), "bench_id")
+        .where(F.col("inter") * 10000 >= F.lit(min_cont_bps) * F.col("n_bench"))
+        .select(
+            "doc_id", "bench_id",
+            F.col("inter").cast("bigint").alias("inter"),
+            F.col("n_bench").cast("bigint").alias("n_bench"),
+            F.expr("div(inter * 10000, n_bench)").cast("bigint")
+            .alias("cont_bps"),
+        )
+    )

@@ -2180,3 +2180,27 @@ def test_hamming_near_pairs_matches_bruteforce_sweep(spark):
                 if d <= k:
                     want.add((ia, ib, d))
         assert got == want, (n_bits, k)
+
+
+def test_cross_containment_decontamination(spark):
+    """A benchmark item quoted whole inside a LONG training doc is flagged
+    (containment vs the benchmark size ~1 where Jaccard would dilute);
+    a lightly-edited quote still clears 60%; an unrelated doc does not."""
+    from polipus_spark.functions.dedup import cross_containment
+
+    bench_text = "the quick brown fox jumps over the lazy dog today"
+    long_doc = ("filler words here and there all around " * 5) + bench_text
+    edited = bench_text.replace("lazy", "sleepy")  # one word changed
+    corpus = spark.createDataFrame(
+        [(1, long_doc), (2, "completely unrelated content about spark"),
+         (3, edited)],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "doc_id long, text string")
+
+    got = {(r["doc_id"], r["bench_id"]): r["cont_bps"]
+           for r in cross_containment(corpus, bench,
+                                      min_cont_bps=6000).collect()}
+    assert got[(1, 100)] == 10000          # whole quote: containment 1.0
+    assert 6000 <= got[(3, 100)] < 10000   # edited: most shingles survive
+    assert (2, 100) not in got
