@@ -22,17 +22,19 @@ by the r4 skew legs ("stable even when absolute times are not").
 
 **The default invocation is budgeted** (r2 lesson: the exhaustive default
 timed out under the driver — rc 124, zero driver-verified numbers). A
-wall-clock budget (BENCH_BUDGET_SEC, default 840 s) gates every optional
-leg; whatever happens, ONE parseable JSON line is printed, with a
-"skipped" list naming anything the budget dropped. The Bloom/budgeted
+wall-clock budget (BENCH_BUDGET_SEC, default 1140 s — sized for the
+5-pair scaling protocol plus the full sweep with headroom) gates every
+optional leg; whatever happens, ONE parseable JSON line is printed, with
+a "skipped" list naming anything the budget dropped. The Bloom/budgeted
 hot-path variants are opt-IN via BENCH_VARIANTS=1 (they were the r2
 default and cost ~15 subprocess JVM legs).
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_FRONTIER_URLS (default 16_000_000),
 BENCH_SCALING_URLS (default half the frontier — cheaper passes),
-BENCH_SCALING_PAIRS (default 3 interleaved lo/hi pairs),
-BENCH_BUDGET_SEC (default 840), BENCH_VARIANTS=1 to add the Bloom/exact
+BENCH_SCALING_PAIRS (default 5 interleaved lo/hi pairs — median tolerates
+two polluted pairs), BENCH_BUDGET_SEC (default 1140),
+BENCH_VARIANTS=1 to add the Bloom/exact
 variant legs, BENCH_SKEW=1 to add the Zipf-2.0 salt-1-vs-8 skew-stress
 legs, BENCH_SKIP_SCALING=1 to skip the scaling pairs.
 """
@@ -537,7 +539,7 @@ def timed_frontier_run(cores: int, n_urls: int, reps: int = 3,
 
 
 T_START = time.time()
-BUDGET = float(os.environ.get("BENCH_BUDGET_SEC", "840"))
+BUDGET = float(os.environ.get("BENCH_BUDGET_SEC", "1140"))
 
 
 def _left() -> float:
@@ -573,7 +575,7 @@ def _main_legs(result: dict) -> None:
     if os.environ.get("BENCH_SKEW") == "1":
         prepare_fixture(N_SKEW, spark, zipf_s=2.0, n_hosts=SKEW_HOSTS)
     _log("fixtures ready; running per-operator queries")
-    result["queries"] = run_queries(spark, stop_after=min(280.0, BUDGET / 3))
+    result["queries"] = run_queries(spark, stop_after=min(340.0, BUDGET / 3))
     _shutdown_jvm(spark)
     _log("queries done; parent JVM down")
 
@@ -634,7 +636,10 @@ def _main_legs(result: dict) -> None:
         # the pair ratio without decoupling the pair's noise windows.
         s_scale = N_SCALING / 4_000_000  # measured at 4M: lo ~39 s, hi ~11 s
         n_warm = max(N_SCALING // 8, 500_000)
-        pairs_goal = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
+        # 5 pairs (r5, late): the median then tolerates TWO externally
+        # polluted pairs — a concurrent-pytest stress run medianed 0.787
+        # with 2 of 3 pairs depressed, which 3 pairs cannot absorb
+        pairs_goal = int(os.environ.get("BENCH_SCALING_PAIRS", "5"))
         est_lo = 30 + 8 * s_scale + 2 * 42 * s_scale
         est_hi = 30 + 3 * s_scale + 2 * 12 * s_scale
         t_los: list[float] = []
