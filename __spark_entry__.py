@@ -2042,6 +2042,58 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir))
 
 
+def q_streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming == batch consistency (r5): the events table is sliced
+    into THREE time-ordered files, replayed as three real micro-batches
+    (file source, maxFilesPerTrigger=1, availableNow) through the
+    applyInPandasWithState sessionizer, and the union of the per-batch
+    update-mode outputs is returned — the DuckDB oracle is the BATCH
+    lag+cumsum sessionization SQL, so the entry is green iff cross-batch
+    state carry-over reproduces the batch semantics exactly (the lambda-
+    architecture check, hash-checked rather than rows-only). The
+    watermark is set far past the data range so no state reclaims
+    mid-run — reclamation restarts a user's session counter by design
+    (documented in streaming_sessionize); parity holds within a state
+    lifetime. Fixture prep collects ONE 1-row min/max bound (scaffolding,
+    not the operator)."""
+    import os
+    import shutil
+
+    from polipus_spark.streaming.waves import streaming_sessionize
+
+    # the fixture parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_id", "user_id")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    base = os.path.join(tempfile.gettempdir(), "polipus_stream_parity")
+    src = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    es = F.unix_timestamp("ts")
+    for pred in (es <= cut1, (es > cut1) & (es <= cut2), es > cut2):
+        ev.where(pred).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sess = streaming_sessionize(stream, gap_seconds=1800,
+                                watermark="36500 days")
+    q = (sess.writeStream.outputMode("update")
+         .foreachBatch(
+             lambda df, _bid: df.write.mode("append").parquet(out_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    return spark.read.parquet(out_dir).select(
+        "user_id", "event_id", "session_id")
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session ids per user (lag + cumsum)."""
     e = _events(spark, sf_dir)
@@ -2194,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_hot_window": q_o3_hot_window,
         "o4_capped_drop_oldest": q_o4_capped_drop_oldest,
         "events_sessionize": q_events_sessionize,
+        "streaming_sessionize_parity": q_streaming_sessionize_parity,
         # --- greened by the r3 driver, unchanged ---
         "tpch_q1_style": q_tpch_q1_style,
         "sim_quantize_int8": q_sim_quantize_int8,
@@ -4772,6 +4825,17 @@ def oracle_sql() -> dict[str, str]:
                  'img' AS media_type,
                  CAST(16 AS BIGINT) AS n_bytes
           FROM documents
+        """,
+        "streaming_sessionize_parity": """
+          SELECT user_id, event_id,
+                 CAST(sum(_n) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        THEN 1 ELSE 0 END AS _n
+            FROM events)
         """,
         "events_sessionize": """
           SELECT user_id, event_id,

@@ -340,6 +340,10 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "events_outliers", "sim_knn_graph", "io_jsonl_roundtrip",
         "io_csv_roundtrip", "io_bucketed_join", "text_tfidf_topk",
         "sample_balanced", "decontaminate_fuzzy",
+        # r5 sixth batch: the streaming==batch parity replay (3 real
+        # micro-batches through applyInPandasWithState — the one sweep
+        # entry that times Structured Streaming end to end)
+        "streaming_sessionize_parity",
         # (crawl_url_templates is deliberately NOT in the sweep: its cost
         # is the shared entry crawl session, not the template rollup)
     ]
