@@ -1690,6 +1690,61 @@ def q_io_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.md5("text").alias("text_md5"))
 
 
+def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus interchange, ORC (r5): the columnar leg of the round-trip
+    family (Hive/Trino interchange, native Spark reader/writer) — same
+    landmine fixture and md5-vs-parquet-truth oracle as the JSONL/CSV
+    legs, proving the binary columnar cycle byte-lossless too."""
+    from polipus_spark.sources.interchange import export_orc, read_orc
+
+    d = _tricky_docs(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "polipus_io_orc")
+    export_orc(d, out)
+    back = read_orc(spark, out)
+    return back.select("doc_id", "lang", "source", "n_chars",
+                       F.md5("text").alias("text_md5"))
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE / grouping-sets OLAP (r5): revenue and counts over all four
+    grouping combinations of (event_type, weekday) in one pass —
+    Catalyst expands the cube to an Expand node feeding ONE aggregate
+    (no four separate scans); grouping_id disambiguates the rollup rows.
+    Integer cents; weekday normalized to Spark's 1=Sunday convention on
+    both sides."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_type",
+        F.dayofweek("ts").alias("weekday"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v_cents"))
+    return (
+        base.cube("event_type", "weekday")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("v_cents").alias("sum_cents"),
+             F.grouping_id().cast("int").alias("gid"))
+        # rollup rows carry NULL dims — coalesce to sentinels so the
+        # driver's sort-based canonicalizer (no NULL/str mixing) works;
+        # gid still marks which dims are aggregated
+        .select(
+            F.coalesce("event_type", F.lit("__all__")).alias("event_type"),
+            F.coalesce("weekday", F.lit(-1)).cast("int").alias("weekday"),
+            "n_events", "sum_cents", "gid")
+    )
+
+
+def q_ids_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global sequence assignment (r5 entry for the long-standing
+    O2 operator): `with_global_seq` — the scalable DataFrame zipWithIndex
+    (range-partitioned sort → per-partition counts → offset + vectorized
+    local index; NEVER a single-partition row_number window). Oracled
+    against the naive global row_number the operator exists to avoid."""
+    from polipus_spark.operators.seq import with_global_seq
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    return with_global_seq(d, ["source", "doc_id"]).select(
+        "doc_id", "source", F.col("seq").cast("bigint").alias("seq"))
+
+
 def q_io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed co-located join (r5): orders and lineitem are written
     bucketBy(8, orderkey) + sortBy into catalog tables, then joined on
@@ -2216,7 +2271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_outliers": q_events_outliers,
         "io_jsonl_roundtrip": q_io_jsonl_roundtrip,
         "io_csv_roundtrip": q_io_csv_roundtrip,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
         "io_bucketed_join": q_io_bucketed_join,
+        "events_cube": q_events_cube,
+        "ids_contiguous": q_ids_contiguous,
         "media_metadata": q_media_metadata,
         # --- new or changed this round ---
         "sim_ivf_topk_quantized": q_sim_ivf_topk_quantized,
@@ -4758,6 +4816,29 @@ def oracle_sql() -> dict[str, str]:
           JOIN pp ON li.l_partkey = pp.l_partkey
           WHERE p_brand = 'Brand#13'
             AND 2 * CAST(round(li.l_quantity) AS BIGINT) * pp.cnt < pp.qsum
+        """,
+        "ids_contiguous": """
+          SELECT doc_id, source,
+                 CAST(row_number() OVER (ORDER BY source, doc_id) - 1
+                      AS BIGINT) AS seq
+          FROM documents
+        """,
+        "io_orc_roundtrip": """
+          SELECT doc_id, lang, source, n_chars,
+                 md5('q"c,' || chr(10) || text || 'é€') AS text_md5
+          FROM documents
+        """,
+        "events_cube": """
+          SELECT coalesce(event_type, '__all__') AS event_type,
+                 CAST(coalesce(weekday, -1) AS INT) AS weekday,
+                 count(*) AS n_events,
+                 CAST(sum(v_cents) AS BIGINT) AS sum_cents,
+                 CAST(GROUPING(event_type, weekday) AS INT) AS gid
+          FROM (SELECT event_type,
+                       CAST(dayofweek(ts) + 1 AS INT) AS weekday,
+                       CAST(round(value * 100) AS BIGINT) AS v_cents
+                FROM events)
+          GROUP BY CUBE (event_type, weekday)
         """,
         "io_bucketed_join": """
           SELECT o_orderstatus,

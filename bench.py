@@ -342,8 +342,10 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "sample_balanced", "decontaminate_fuzzy",
         # r5 sixth batch: the streaming==batch parity replay (3 real
         # micro-batches through applyInPandasWithState — the one sweep
-        # entry that times Structured Streaming end to end)
-        "streaming_sessionize_parity",
+        # entry that times Structured Streaming end to end), ORC leg,
+        # CUBE grouping sets, and the two-phase global sequence
+        "streaming_sessionize_parity", "io_orc_roundtrip", "events_cube",
+        "ids_contiguous",
         # (crawl_url_templates is deliberately NOT in the sweep: its cost
         # is the shared entry crawl session, not the template rollup)
     ]

@@ -33,7 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-__all__ = ["export_jsonl", "read_jsonl", "export_csv", "read_csv"]
+__all__ = ["export_jsonl", "read_jsonl", "export_csv", "read_csv",
+           "export_orc", "read_orc"]
 
 
 def export_jsonl(df: DataFrame, path: str) -> None:
@@ -54,6 +55,19 @@ def export_csv(df: DataFrame, path: str) -> None:
      .option("header", True)
      .option("escape", '"')
      .csv(path))
+
+
+def export_orc(df: DataFrame, path: str) -> None:
+    """Write ``df`` as ORC — the columnar interchange with the Hive/Trino
+    world (Spark ships the reader/writer natively). Same splittable,
+    predicate-pushdown-friendly posture as parquet."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read an ORC directory (self-describing schema — no inference pass
+    needed, unlike the text formats)."""
+    return spark.read.orc(path)
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
