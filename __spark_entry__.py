@@ -1732,6 +1732,58 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (r5): per-user event counts spread into one column per event
+    type. The type list is passed EXPLICITLY — an inferred pivot runs an
+    extra distinct job and its column order depends on data; at 100 TB
+    the dimension values are catalog knowledge. Compiles to one groupBy
+    with conditional aggregates (no join, no explode)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _events(spark, sf_dir)
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+          for t in types])
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured querying (r5): get_json_object over the props JSON
+    column — extraction stays a map-side Column expression feeding a
+    narrow per-type aggregate (never a parse-to-struct shuffle). Oracle
+    extracts the same path with DuckDB's JSON functions."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("k").alias("sum_k"),
+             F.min("k").alias("min_k"),
+             F.max("k").alias("max_k"))
+    )
+
+
+def q_text_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning (r5): every doc assigned a decile by corpus
+    rank on (n_chars, doc_id) — composed from the scalable global
+    sequence (with_global_seq) plus a broadcast 1-row count, so the
+    global ranking NEVER collapses to a single-partition window; decile
+    = floor(seq·10/N), the formula the oracle replays exactly (no
+    ntile bucket-shape dependence)."""
+    from polipus_spark.operators.seq import with_global_seq
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    ranked = with_global_seq(d, ["n_chars", "doc_id"])
+    n = d.agg(F.count("*").alias("_n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "n_chars",
+            (F.col("seq") * 10 / F.col("_n")).cast("int").alias("decile"))
+    )
+
+
 def q_ids_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense global sequence assignment (r5 entry for the long-standing
     O2 operator): `with_global_seq` — the scalable DataFrame zipWithIndex
@@ -2275,6 +2327,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_bucketed_join": q_io_bucketed_join,
         "events_cube": q_events_cube,
         "ids_contiguous": q_ids_contiguous,
+        "events_pivot": q_events_pivot,
+        "events_json_extract": q_events_json_extract,
+        "text_quality_deciles": q_text_quality_deciles,
         "media_metadata": q_media_metadata,
         # --- new or changed this round ---
         "sim_ivf_topk_quantized": q_sim_ivf_topk_quantized,
@@ -4816,6 +4871,35 @@ def oracle_sql() -> dict[str, str]:
           JOIN pp ON li.l_partkey = pp.l_partkey
           WHERE p_brand = 'Brand#13'
             AND 2 * CAST(round(li.l_quantity) AS BIGINT) * pp.cnt < pp.qsum
+        """,
+        "events_pivot": """
+          SELECT user_id,
+                 count(*) FILTER (event_type = 'click')    AS n_click,
+                 count(*) FILTER (event_type = 'error')    AS n_error,
+                 count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                 count(*) FILTER (event_type = 'signup')   AS n_signup,
+                 count(*) FILTER (event_type = 'view')     AS n_view
+          FROM events GROUP BY user_id
+        """,
+        "events_json_extract": """
+          SELECT event_type, count(*) AS n_events,
+                 CAST(sum(k) AS BIGINT) AS sum_k,
+                 CAST(min(k) AS BIGINT) AS min_k,
+                 CAST(max(k) AS BIGINT) AS max_k
+          FROM (SELECT event_type,
+                       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                FROM events)
+          GROUP BY event_type
+        """,
+        "text_quality_deciles": """
+          WITH r AS (
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS seq,
+                   count(*) OVER () AS n
+            FROM documents)
+          SELECT doc_id, n_chars,
+                 CAST((seq * 10) // n AS INT) AS decile
+          FROM r
         """,
         "ids_contiguous": """
           SELECT doc_id, source,

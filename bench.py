@@ -345,7 +345,8 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         # entry that times Structured Streaming end to end), ORC leg,
         # CUBE grouping sets, and the two-phase global sequence
         "streaming_sessionize_parity", "io_orc_roundtrip", "events_cube",
-        "ids_contiguous",
+        "ids_contiguous", "events_pivot", "events_json_extract",
+        "text_quality_deciles",
         # (crawl_url_templates is deliberately NOT in the sweep: its cost
         # is the shared entry crawl session, not the template rollup)
     ]
