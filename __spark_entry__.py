@@ -2201,6 +2201,65 @@ def q_streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", "event_id", "session_id")
 
 
+def q_streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming == batch consistency for the FUNNEL (r5, the second
+    lambda-architecture check after streaming_sessionize_parity): the
+    events table is sliced into THREE time-ordered files, replayed as
+    three real micro-batches (file source, maxFilesPerTrigger=1,
+    availableNow) through the applyInPandasWithState streaming funnel,
+    and the per-batch update-mode emissions are reduced to the final
+    per-user row (level only grows across batches; t1_us is fixed at the
+    anchor) — the DuckDB oracle is the BATCH funnel's min-chain k-join
+    SQL, so the entry is green iff the greedy chain resumes across
+    micro-batch state exactly as the one-shot Column fold computes it.
+    The watermark is set far past the data range so no state reclaims
+    mid-run: reclamation would let a later 'view' RE-anchor a closed
+    user, which the batch operator (earliest-anchor, never resets) by
+    design does not — parity holds within a state lifetime, same
+    contract as the sessionize twin. Fixture prep collects ONE 1-row
+    min/max bound (scaffolding, not the operator)."""
+    import os
+    import shutil
+
+    from polipus_spark.streaming.waves import streaming_funnel
+
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "user_id", "event_type")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    base = os.path.join(tempfile.gettempdir(), "polipus_funnel_parity")
+    src = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    es = F.unix_timestamp("ts")
+    for pred in (es <= cut1, (es > cut1) & (es <= cut2), es > cut2):
+        ev.where(pred).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    fun = streaming_funnel(stream, ["view", "click", "purchase"],
+                           window_sec=2 * 86400, watermark="36500 days")
+    q = (fun.writeStream.outputMode("update")
+         .foreachBatch(
+             lambda df, _bid: df.write.mode("append").parquet(out_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(F.max("level").cast("int").alias("level"),
+             F.min("t1_us").cast("bigint").alias("t1_us"))
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session ids per user (lag + cumsum)."""
     e = _events(spark, sf_dir)
@@ -2360,6 +2419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o4_capped_drop_oldest": q_o4_capped_drop_oldest,
         "events_sessionize": q_events_sessionize,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
+        "streaming_funnel_parity": q_streaming_funnel_parity,
         # --- greened by the r3 driver, unchanged ---
         "tpch_q1_style": q_tpch_q1_style,
         "sim_quantize_int8": q_sim_quantize_int8,
@@ -5001,6 +5061,30 @@ def oracle_sql() -> dict[str, str]:
                          OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
                         THEN 1 ELSE 0 END AS _n
             FROM events)
+        """,
+        "streaming_funnel_parity": """
+          WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS us
+            FROM events
+          ),
+          s1 AS (SELECT user_id, min(us) AS t1 FROM e
+                 WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, min(us) AS t2
+                 FROM e JOIN s1 USING (user_id)
+                 WHERE event_type = 'click'
+                   AND us > s1.t1 AND us <= s1.t1 + 172800000000
+                 GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, min(us) AS t3
+                 FROM e JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+                 WHERE event_type = 'purchase'
+                   AND us > s2.t2 AND us <= s1.t1 + 172800000000
+                 GROUP BY e.user_id)
+          SELECT s1.user_id,
+                 CAST(1 + CASE WHEN s2.user_id IS NULL THEN 0 ELSE 1 END
+                        + CASE WHEN s3.user_id IS NULL THEN 0 ELSE 1 END
+                      AS INT) AS level,
+                 CAST(s1.t1 AS BIGINT) AS t1_us
+          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
         """,
         "events_sessionize": """
           SELECT user_id, event_id,
