@@ -2260,6 +2260,64 @@ def q_streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_windowed_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming == batch consistency for the WINDOWED AGGREGATION
+    (r5, the third lambda-architecture check): the events table is
+    sliced into THREE time-ordered files and replayed as three real
+    micro-batches through streaming_metrics (S10/A3's streaming twin —
+    watermarked tumbling-window count + sum per event_type). Update mode
+    re-emits a window's row every batch that touches it, so each batch's
+    output is tagged with its batch_id and the LAST emission per
+    (window, event_type) — the complete aggregate — is selected with
+    max_by. value is pre-cast to integer cents so the cross-batch sum is
+    hash-exact, and the watermark is held past the data range so no
+    window's state is evicted mid-replay (eviction would re-open a
+    closed window as a fresh partial count). Oracle: the batch
+    date_trunc tumbling rollup."""
+    import os
+    import shutil
+
+    from polipus_spark.streaming.waves import streaming_metrics
+
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value"))
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    base = os.path.join(tempfile.gettempdir(), "polipus_windowed_parity")
+    src = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    es = F.unix_timestamp("ts")
+    for pred in (es <= cut1, (es > cut1) & (es <= cut2), es > cut2):
+        ev.where(pred).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = streaming_metrics(stream, window="1 hour", watermark="36500 days")
+    q = (agg.writeStream.outputMode("update")
+         .foreachBatch(
+             lambda df, bid: df.withColumn("_bid", F.lit(bid))
+             .write.mode("append").parquet(out_dir))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(600)
+    finally:
+        q.stop()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy(F.col("window.start").alias("window_start"), "event_type")
+        .agg(F.max_by("n", "_bid").cast("bigint").alias("n"),
+             F.max_by("total_value", "_bid").cast("bigint")
+             .alias("total_cents"))
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session ids per user (lag + cumsum)."""
     e = _events(spark, sf_dir)
@@ -2420,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "streaming_funnel_parity": q_streaming_funnel_parity,
+        "streaming_windowed_parity": q_streaming_windowed_parity,
         # --- greened by the r3 driver, unchanged ---
         "tpch_q1_style": q_tpch_q1_style,
         "sim_quantize_int8": q_sim_quantize_int8,
@@ -5085,6 +5144,14 @@ def oracle_sql() -> dict[str, str]:
                       AS INT) AS level,
                  CAST(s1.t1 AS BIGINT) AS t1_us
           FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        """,
+        "streaming_windowed_parity": """
+          SELECT date_trunc('hour', ts) AS window_start, event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+          FROM events
+          GROUP BY 1, 2
         """,
         "events_sessionize": """
           SELECT user_id, event_id,
