@@ -536,6 +536,26 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_sample(d, "lang").select("doc_id", "lang")
 
 
+def q_sample_epoch_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch budget apportionment (r5): largest-remainder (Hamilton)
+    allocation of a 1,003-document training-epoch budget across the
+    stored language strata at weights (en 50%, zh/es 15%, de/fr 10%) —
+    the exact-integer planning step between mixing weights and the
+    deterministic samplers. The odd total forces 2 leftover seats and a
+    remainder TIE (zh vs es at rem 4500) resolved by the documented
+    stratum-ascending tie-break; en's allocation exceeds availability at
+    sf0.01, exercising the shortfall column. One count scan; the
+    apportionment windows run over |strata| rows. Oracle: the identical
+    integer div/mod/rank arithmetic in SQL."""
+    from polipus_spark.functions.sampling import epoch_allocation
+
+    return epoch_allocation(
+        _docs(spark, sf_dir), "lang",
+        {"en": 5000, "zh": 1500, "es": 1500, "de": 1000, "fr": 1000},
+        total=1003,
+    )
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training sequence prep: overlapping 64-word windows (step 56) per
     doc — map-only explode, no shuffle."""
@@ -2479,6 +2499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "streaming_funnel_parity": q_streaming_funnel_parity,
         "streaming_windowed_parity": q_streaming_windowed_parity,
+        "sample_epoch_alloc": q_sample_epoch_alloc,
         # --- greened by the r3 driver, unchanged ---
         "tpch_q1_style": q_tpch_q1_style,
         "sim_quantize_int8": q_sim_quantize_int8,
@@ -3996,6 +4017,34 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
             FROM documents)
           SELECT doc_id, lang FROM r, m WHERE rk <= m
+        """,
+        "sample_epoch_alloc": """
+          WITH c AS (
+            SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang),
+          w AS (
+            SELECT lang, n_avail,
+                   CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 1500
+                             WHEN 'es' THEN 1500 WHEN 'de' THEN 1000
+                             WHEN 'fr' THEN 1000 ELSE 0 END AS wb
+            FROM c),
+          b AS (
+            SELECT lang, n_avail,
+                   (1003 * wb) // 10000 AS base,
+                   (1003 * wb) % 10000 AS rem
+            FROM w),
+          r AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+                   1003 - sum(base) OVER () AS leftover
+            FROM b),
+          a AS (
+            SELECT lang, n_avail,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                     AS alloc
+            FROM r)
+          SELECT lang, CAST(n_avail AS BIGINT) AS n_avail,
+                 CAST(alloc AS BIGINT) AS alloc_docs,
+                 CAST(greatest(alloc - n_avail, 0) AS BIGINT) AS shortfall
+          FROM a
         """,
         "sample_stratified": f"""
           SELECT doc_id, lang FROM (

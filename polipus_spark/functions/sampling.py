@@ -129,6 +129,73 @@ def dsir_weights(
     )
 
 
+def epoch_allocation(
+    df: DataFrame,
+    stratum_col: str,
+    weights_bps: dict[str, int],
+    total: int,
+) -> DataFrame:
+    """Exact integer apportionment of a training-epoch document budget
+    across strata — the planning step BETWEEN mixing weights and the
+    deterministic samplers above: given per-domain weights in basis
+    points (must sum to exactly 10,000) and a total budget, emit per
+    stratum ``(n_avail, alloc_docs, shortfall)`` such that
+    ``Σ alloc_docs == total`` exactly.
+
+    Method: largest-remainder (Hamilton) apportionment —
+    ``base = (total·w) div 10000``, the ``total − Σ base`` leftover seats
+    go to the largest ``(total·w) mod 10000`` remainders, ties broken by
+    stratum ascending. All int64; no floating normalization, so the
+    DuckDB oracle hash-matches bit-for-bit. ``shortfall`` flags strata
+    whose allocation exceeds availability (redistribution is a policy
+    choice left to the caller — under-weighted domains usually absorb it
+    by raising epochs-per-doc, not by silently re-weighting).
+
+    Scale posture: one map-side-combined groupBy(stratum) count, then the
+    apportionment windows run over |strata| rows — thousands of domains
+    at most, a broadcast-sized frame by construction; the 100 TB input is
+    touched exactly once by the count scan.
+    """
+    from pyspark.sql import Window
+
+    if sum(weights_bps.values()) != BPS:
+        raise ValueError(f"weights_bps must sum to {BPS}")
+    w_expr = F.lit(0)
+    for value, bps in sorted(weights_bps.items()):
+        w_expr = F.when(
+            F.col(stratum_col) == F.lit(value), F.lit(bps)
+        ).otherwise(w_expr)
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.count("*").alias("n_avail"))
+        .withColumn("_w", w_expr.cast("bigint"))
+        .withColumn("_base", F.expr(f"div({total} * _w, {BPS})"))
+        .withColumn("_rem", (F.lit(total) * F.col("_w")) % F.lit(BPS))
+    )
+    all_w = Window.partitionBy()
+    rank_w = Window.partitionBy().orderBy(
+        F.col("_rem").desc(), F.col(stratum_col)
+    )
+    return (
+        counts.withColumn("_leftover", F.lit(total) - F.sum("_base").over(all_w))
+        .withColumn("_rk", F.row_number().over(rank_w))
+        .select(
+            stratum_col,
+            "n_avail",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_leftover"), 1).otherwise(0)
+            ).cast("bigint").alias("alloc_docs"),
+        )
+        .withColumn(
+            "shortfall",
+            F.greatest(
+                F.col("alloc_docs") - F.col("n_avail"), F.lit(0).cast("bigint")
+            ),
+        )
+    )
+
+
 def balanced_sample(
     df: DataFrame,
     stratum_col: str,

@@ -2147,6 +2147,46 @@ def test_balanced_sample_exact_floor_and_stability(spark):
     assert mid2 == by_cls["mid"]
 
 
+def test_epoch_allocation_exact_apportionment(spark):
+    """Largest-remainder epoch planning: Σ alloc == total exactly, seats
+    go to the largest remainders with the stratum-ascending tie-break,
+    shortfall flags over-allocation, and non-10000 weights raise."""
+    import pytest
+
+    from polipus_spark.functions.sampling import epoch_allocation
+
+    rows = ([(i, "en") for i in range(8)] + [(100 + i, "de") for i in range(3)]
+            + [(200, "fr")])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # weights 50/30/20, total 7: base = (7*5000)//10000=3, (7*3000)//10000=2,
+    # (7*2000)//10000=1 → Σ6, leftover 1; rems 5000/1000/4000 → en wins.
+    out = {r["lang"]: (r["n_avail"], r["alloc_docs"], r["shortfall"])
+           for r in epoch_allocation(
+               df, "lang", {"en": 5000, "de": 3000, "fr": 2000}, total=7
+           ).collect()}
+    assert out == {"en": (8, 4, 0), "de": (3, 2, 0), "fr": (1, 1, 0)}
+    assert sum(a for _, a, _ in out.values()) == 7
+
+    # remainder TIE for the single leftover seat: total 2 at 60/20/20 →
+    # bases 1,0,0, rems 2000/4000/4000 — de and fr tie at 4000 and the
+    # seat goes to the lexicographically smaller stratum (de), never fr.
+    out2 = {r["lang"]: r["alloc_docs"]
+            for r in epoch_allocation(
+                df, "lang", {"en": 6000, "de": 2000, "fr": 2000}, total=2
+            ).collect()}
+    assert out2 == {"en": 1, "de": 1, "fr": 0}
+
+    # zero-remainder split with demand above availability → shortfall
+    out3 = {r["lang"]: (r["alloc_docs"], r["shortfall"])
+            for r in epoch_allocation(
+                df, "lang", {"en": 5000, "de": 3000, "fr": 2000}, total=40
+            ).collect()}
+    assert out3 == {"en": (20, 12), "de": (12, 9), "fr": (8, 7)}
+
+    with pytest.raises(ValueError):
+        epoch_allocation(df, "lang", {"en": 5000, "de": 4000}, total=5)
+
+
 def test_hamming_near_pairs_matches_bruteforce_sweep(spark):
     """Randomized (seeded) equivalence sweep for the pigeonhole banding
     shared by SimHash text, image dHash, and the audio fingerprint:
