@@ -32,8 +32,10 @@ default and cost ~15 subprocess JVM legs).
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_FRONTIER_URLS (default 16_000_000),
 BENCH_SCALING_URLS (default half the frontier — cheaper passes),
-BENCH_SCALING_PAIRS (default 5 interleaved lo/hi pairs — median tolerates
-two polluted pairs), BENCH_BUDGET_SEC (default 1140),
+BENCH_SCALING_PAIRS (default 4 interleaved lo/hi pairs),
+BENCH_SCALING_REPS (default 3 timed passes per leg — efficiency is the
+capability ratio min-lo/min-hi over ALL interleaved passes, with the
+per-pair ratio medians reported alongside), BENCH_BUDGET_SEC (default 1140),
 BENCH_VARIANTS=1 to add the Bloom/exact
 variant legs, BENCH_SKEW=1 to add the Zipf-2.0 salt-1-vs-8 skew-stress
 legs, BENCH_SKIP_SCALING=1 to skip the scaling pairs.
@@ -643,12 +645,19 @@ def _main_legs(result: dict) -> None:
         # the pair ratio without decoupling the pair's noise windows.
         s_scale = N_SCALING / 4_000_000  # measured at 4M: lo ~39 s, hi ~11 s
         n_warm = max(N_SCALING // 8, 500_000)
-        # 5 pairs (r5, late): the median then tolerates TWO externally
-        # polluted pairs — a concurrent-pytest stress run medianed 0.787
-        # with 2 of 3 pairs depressed, which 3 pairs cannot absorb
-        pairs_goal = int(os.environ.get("BENCH_SCALING_PAIRS", "5"))
-        est_lo = 30 + 8 * s_scale + 2 * 42 * s_scale
-        est_hi = 30 + 3 * s_scale + 2 * 12 * s_scale
+        # 4 pairs x 3 reps (r5, final): a 4-core pass is ~6 s — short
+        # enough that any single pass SAMPLES a host-noise window, and
+        # min-of-2 misses the recurring capability floor ~1 run in 3
+        # (measured spread on one idle-guest evening: hi passes
+        # 5.36-7.64 s while lo passes, 4x longer, integrate the same noise
+        # to a tight 19.9-21.8 s). 12 interleaved passes per level recover
+        # the floor at both levels; estimates use the measured budgeted
+        # pass times (~20-24 s lo, ~6-8 s hi at 4M) so all four pairs fit
+        # the default budget after the query sweep and headline leg.
+        pairs_goal = int(os.environ.get("BENCH_SCALING_PAIRS", "4"))
+        reps_goal = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+        est_lo = 30 + 8 * s_scale + reps_goal * 30 * s_scale
+        est_hi = 30 + 3 * s_scale + reps_goal * 9 * s_scale
         t_los: list[float] = []
         t_his: list[float] = []
         effs: list[float] = []
@@ -657,11 +666,11 @@ def _main_legs(result: dict) -> None:
                 _log(f"scaling pairs truncated at {len(effs)} (budget)")
                 result["skipped"].append(f"scaling:pair{i}")
                 break
-            t_lo = leg(f"scaling:{CORES_LO}c:p{i}", CORES_LO, 2, est=est_lo,
-                       n_urls=N_SCALING, variant="budgeted",
+            t_lo = leg(f"scaling:{CORES_LO}c:p{i}", CORES_LO, reps_goal,
+                       est=est_lo, n_urls=N_SCALING, variant="budgeted",
                        warmup_urls=n_warm)
-            t_hi_p = leg(f"scaling:{CORES_HI}c:p{i}", CORES_HI, 2, est=est_hi,
-                         n_urls=N_SCALING, variant="budgeted",
+            t_hi_p = leg(f"scaling:{CORES_HI}c:p{i}", CORES_HI, reps_goal,
+                         est=est_hi, n_urls=N_SCALING, variant="budgeted",
                          warmup_urls=n_warm)
             if t_lo and t_hi_p:
                 t_los.append(t_lo)
@@ -673,15 +682,28 @@ def _main_legs(result: dict) -> None:
         if effs:
             import statistics
 
+            # Efficiency = the CAPABILITY ratio: min pass time per level
+            # over ALL interleaved passes (leg-min of leg-mins), the same
+            # min-estimator every other number in this file uses. A single
+            # (lo, hi) pair's ratio bakes one ~6 s hi pass's noise window
+            # into the statistic — measured same-evening medians ranged
+            # 0.73-0.97 on identical code while the per-level minima
+            # recurred within ±3% (lo) / ±2% (hi floor). Interleaving is
+            # kept so both levels sample the SAME window population; the
+            # per-pair medians stay reported for transparency.
+            eff_cap = round(
+                (min(t_los) / min(t_his)) / (CORES_HI / CORES_LO), 3)
             result["scaling"] = {
-                "protocol": "interleaved-pairs/median",
+                "protocol": "interleaved-pairs/capability-min",
                 "variant": "budgeted",
                 "cores_lo": CORES_LO,
                 "throughput_lo": round(N_SCALING / min(t_los), 1),
                 "cores_hi": CORES_HI,
                 "throughput_hi": round(N_SCALING / min(t_his), 1),
-                "efficiency": round(statistics.median(effs), 3),
+                "efficiency": eff_cap,
+                "efficiency_median_pairs": round(statistics.median(effs), 3),
                 "efficiency_pairs": effs,
+                "n_passes_per_level": reps_goal * len(t_los),
                 "n_urls": N_SCALING, "full_cores": CPUS,
                 "throughput_full": round(N_FRONTIER / t_hi, 1) if t_hi else None,
             }
