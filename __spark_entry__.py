@@ -556,6 +556,23 @@ def q_sample_epoch_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_epoch_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch EXECUTION (r5): materialize the epoch_allocation plan —
+    exactly alloc_docs rows per language by deterministic md5 rank
+    (total 301 forces one leftover seat → en takes 151, zh/es 45, de/fr
+    30; every allocation is within availability at sf0.01, so the result
+    is exactly 301 rows). Selection is a pure function of (weights,
+    total), so the epoch is reproducible at any parallelism. Oracle: the
+    same apportionment CTE chain + per-stratum md5 row_number in SQL."""
+    from polipus_spark.functions.sampling import epoch_take
+
+    return epoch_take(
+        _docs(spark, sf_dir), "lang",
+        {"en": 5000, "zh": 1500, "es": 1500, "de": 1000, "fr": 1000},
+        total=301,
+    ).select("doc_id", "lang")
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training sequence prep: overlapping 64-word windows (step 56) per
     doc — map-only explode, no shuffle."""
@@ -2500,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_funnel_parity": q_streaming_funnel_parity,
         "streaming_windowed_parity": q_streaming_windowed_parity,
         "sample_epoch_alloc": q_sample_epoch_alloc,
+        "sample_epoch_take": q_sample_epoch_take,
         # --- greened by the r3 driver, unchanged ---
         "tpch_q1_style": q_tpch_q1_style,
         "sim_quantize_int8": q_sim_quantize_int8,
@@ -4045,6 +4063,39 @@ def oracle_sql() -> dict[str, str]:
                  CAST(alloc AS BIGINT) AS alloc_docs,
                  CAST(greatest(alloc - n_avail, 0) AS BIGINT) AS shortfall
           FROM a
+        """,
+        "sample_epoch_take": """
+          WITH c AS (
+            SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang),
+          w AS (
+            SELECT lang, n_avail,
+                   CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 1500
+                             WHEN 'es' THEN 1500 WHEN 'de' THEN 1000
+                             WHEN 'fr' THEN 1000 ELSE 0 END AS wb
+            FROM c),
+          b AS (
+            SELECT lang, n_avail,
+                   (301 * wb) // 10000 AS base,
+                   (301 * wb) % 10000 AS rem
+            FROM w),
+          r AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+                   301 - sum(base) OVER () AS leftover
+            FROM b),
+          a AS (
+            SELECT lang,
+                   base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                     AS alloc
+            FROM r),
+          ranked AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS drk
+            FROM documents)
+          SELECT doc_id, lang
+          FROM ranked JOIN a USING (lang)
+          WHERE drk <= a.alloc
         """,
         "sample_stratified": f"""
           SELECT doc_id, lang FROM (

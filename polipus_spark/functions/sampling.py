@@ -196,6 +196,43 @@ def epoch_allocation(
     )
 
 
+def epoch_take(
+    df: DataFrame,
+    stratum_col: str,
+    weights_bps: dict[str, int],
+    total: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Execute an :func:`epoch_allocation` plan: EXACTLY
+    ``min(alloc_docs, n_avail)`` rows per stratum, selected by the same
+    deterministic md5 rank as :func:`balanced_sample` — so the epoch's
+    member set is a pure function of (weights, total, salt). Within a
+    stratum the take is prefix-nested (rank is budget-independent), but
+    across budgets a stratum's allocation itself is NOT monotone in
+    ``total`` — largest-remainder apportionment has the Alabama paradox,
+    so a +1 budget step can shrink one stratum's take by a row; callers
+    needing strict nesting should fix per-stratum counts and use
+    :func:`balanced_sample`-style rank cuts directly. The allocation
+    frame is |strata| rows
+    and broadcasts; the per-stratum row_number pays the same one-shuffle
+    sort as balanced_sample (same prefilter optimization applies when a
+    stratum vastly exceeds its allocation)."""
+    from pyspark.sql import Window
+
+    alloc = epoch_allocation(df, stratum_col, weights_bps, total).select(
+        stratum_col, "alloc_docs"
+    )
+    rank_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(rank_key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(alloc), stratum_col)
+        .where(F.col("_rk") <= F.col("alloc_docs"))
+        .drop("_rk", "alloc_docs")
+    )
+
+
 def balanced_sample(
     df: DataFrame,
     stratum_col: str,
