@@ -2238,6 +2238,66 @@ def q_streaming_sessionize_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", "event_id", "session_id")
 
 
+def q_streaming_resume_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KILL-AND-RESUME parity (r5): the state-store recovery
+    path itself, hash-oracled. Run ONE — availableNow — streaming query
+    over the first time-slice of events through the
+    applyInPandasWithState sessionizer and let it terminate (the
+    "kill"); write the remaining two slices and start a SECOND query
+    instance on the SAME checkpoint — it must restore every user's
+    (last_ts, session) state from the state store and resume numbering
+    exactly where instance one stopped. The union of both instances'
+    update-mode emissions is compared against the batch lag+cumsum
+    sessionization SQL, so a single lost or reset state row flips the
+    hash. This is the production resume contract (crawler waves have the
+    snapshot-commit twin; this is the streaming twin). Watermark held
+    past the data range — state must survive BOTH the restart and the
+    whole replay."""
+    import os
+    import shutil
+
+    from polipus_spark.streaming.waves import streaming_sessionize
+
+    ev = _events(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_id", "user_id")
+    lo, hi = ev.agg(
+        F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+    ).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    base = os.path.join(tempfile.gettempdir(), "polipus_resume_parity")
+    src = os.path.join(base, "src")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    shutil.rmtree(base, ignore_errors=True)
+    es = F.unix_timestamp("ts")
+
+    def _run_instance() -> None:
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        sess = streaming_sessionize(stream, gap_seconds=1800,
+                                    watermark="36500 days")
+        q = (sess.writeStream.outputMode("update")
+             .foreachBatch(
+                 lambda df, _bid: df.write.mode("append").parquet(out_dir))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(600)
+        finally:
+            q.stop()
+
+    # instance 1: only the first slice exists; query drains it and exits
+    ev.where(es <= cut1).coalesce(1).write.mode("append").parquet(src)
+    _run_instance()
+    # the "crash": instance 1 is gone; the rest of the stream arrives
+    for pred in ((es > cut1) & (es <= cut2), es > cut2):
+        ev.where(pred).coalesce(1).write.mode("append").parquet(src)
+    # instance 2: same checkpoint — offsets skip slice 1, state resumes
+    _run_instance()
+    return spark.read.parquet(out_dir).select(
+        "user_id", "event_id", "session_id")
+
+
 def q_streaming_funnel_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming == batch consistency for the FUNNEL (r5, the second
     lambda-architecture check after streaming_sessionize_parity): the
@@ -2515,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "streaming_sessionize_parity": q_streaming_sessionize_parity,
         "streaming_funnel_parity": q_streaming_funnel_parity,
+        "streaming_resume_parity": q_streaming_resume_parity,
         "streaming_windowed_parity": q_streaming_windowed_parity,
         "sample_epoch_alloc": q_sample_epoch_alloc,
         "sample_epoch_take": q_sample_epoch_take,
@@ -5211,6 +5272,17 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         """,
         "streaming_sessionize_parity": """
+          SELECT user_id, event_id,
+                 CAST(sum(_n) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+          FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        THEN 1 ELSE 0 END AS _n
+            FROM events)
+        """,
+        "streaming_resume_parity": """
           SELECT user_id, event_id,
                  CAST(sum(_n) OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
