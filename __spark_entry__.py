@@ -1375,6 +1375,20 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5)
 
 
+def q_sim_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling (r5): per query (8 of
+    them), exclude the top-5 cosine neighbors (likely positives) and the
+    query itself, then keep 5 negatives by md5(query||id) rank — the
+    reproducible pair-generation step of contrastive data prep. Oracle
+    replays the exclusion top-k with DuckDB's list_cosine_similarity and
+    the identical md5 rank."""
+    from polipus_spark.functions.similarity import negative_mining
+
+    emb = _emb(spark, sf_dir)
+    return negative_mining(emb.where(F.col("vec_id") < 8), emb,
+                           k_exclude=5, n_neg=5)
+
+
 def q_sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polipus_spark.functions.similarity import ivf_assign
 
@@ -2653,6 +2667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_knn_graph": q_sim_knn_graph,
+        "sim_negative_mining": q_sim_negative_mining,
     }
     # r5 rotation (r4 VERDICT #6, "keep the ledger rotation honest"):
     # priority 0 = no r4 driver row (29 entries + the two new r5 ones),
@@ -4977,6 +4992,35 @@ def oracle_sql() -> dict[str, str]:
                              list_max(list_transform(embedding,
                                x -> abs(CAST(x AS DOUBLE)))) AS m
                       FROM embeddings))
+        """,
+        "sim_negative_mining": """
+          WITH topk AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                c.vec_id ASC) AS rank
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+            WHERE rank <= 5),
+          cand AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+              AND NOT EXISTS (
+                SELECT 1 FROM topk t
+                WHERE t.query_id = q.vec_id AND t.neighbor_id = c.vec_id))
+          SELECT query_id, neighbor_id, CAST(neg_rank AS INT) AS neg_rank
+          FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY md5(concat(CAST(query_id AS VARCHAR), '_',
+                                         CAST(neighbor_id AS VARCHAR))),
+                              neighbor_id) AS neg_rank
+            FROM cand)
+          WHERE neg_rank <= 5
         """,
         "sim_bruteforce_topk": """
           SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (

@@ -74,6 +74,58 @@ def brute_force_topk(
     )
 
 
+def negative_mining(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k_exclude: int = 5,
+    n_neg: int = 5,
+    q_id: str = "vec_id",
+    c_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training data:
+    per query, EXCLUDE the ``k_exclude`` most-cosine-similar corpus
+    vectors (the likely positives / near-duplicates a contrastive loss
+    must not see as negatives) plus the query itself, then keep
+    ``n_neg`` negatives by md5(query_id||neighbor_id) rank — the member
+    set is a pure function of the inputs, so pair generation is
+    reproducible and resumable across epochs.
+
+    Output: (query_id, neighbor_id, neg_rank).
+
+    Scale posture: the exclusion set is k_exclude rows per query
+    (broadcast); candidate enumeration here is corpus × broadcast(query)
+    — exact and oracle-able at test scale. At 100 TB one prefilters the
+    corpus side with ``sampling.hash_bps`` on the pair key to ~a few ×
+    n_neg expected survivors per query before scoring; the md5-rank
+    selection is exactness-preserving under that prefilter as long as
+    ≥ n_neg eligible candidates survive per query (same argument as
+    balanced_sample's prefilter), because the kept set is the rank
+    prefix of the SAME global hash order. Swap brute-force exclusion for
+    ``ivf_topk`` at scale; its overfetch+re-rank output is the same
+    (query_id, neighbor_id) frame."""
+    top = brute_force_topk(queries, corpus, k=k_exclude,
+                           q_id=q_id, q_vec=q_vec, c_id=c_id, c_vec=c_vec)
+    q = queries.select(F.col(q_id).alias("query_id"))
+    cand = (
+        corpus.select(F.col(c_id).alias("neighbor_id"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .join(top.select("query_id", "neighbor_id"),
+              ["query_id", "neighbor_id"], "left_anti")
+    )
+    rk = F.md5(F.concat(F.col("query_id").cast("string"), F.lit("_"),
+                        F.col("neighbor_id").cast("string")))
+    w = Window.partitionBy("query_id").orderBy(rk, F.col("neighbor_id"))
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= n_neg)
+        .select("query_id", "neighbor_id",
+                F.col("neg_rank").cast("int").alias("neg_rank"))
+    )
+
+
 def seed_centroids(
     corpus: DataFrame,
     n_centroids: int = 8,
