@@ -112,7 +112,7 @@ def negative_mining(
         corpus.select(F.col(c_id).alias("neighbor_id"))
         .crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .join(top.select("query_id", "neighbor_id"),
+        .join(F.broadcast(top.select("query_id", "neighbor_id")),
               ["query_id", "neighbor_id"], "left_anti")
     )
     rk = F.md5(F.concat(F.col("query_id").cast("string"), F.lit("_"),

@@ -252,6 +252,14 @@ def main() -> None:
         "sample_balanced": "balanced downsample: within-class md5-rank "
         "window (one stratum-key exchange) + broadcast 1-row floor "
         "count — no driver collect anywhere.",
+        "sample_epoch_take": "epoch execution (r5): Hamilton apportionment "
+        "computed over the |strata|-row count aggregate (tiny windows), "
+        "broadcast back onto the per-stratum md5-rank window — the 100 TB "
+        "input pays one count scan and one stratum-key exchange.",
+        "sim_negative_mining": "contrastive negative mining (r5): corpus x "
+        "broadcast(8 queries), broadcast left-anti exclusion of the top-k "
+        "positives, md5-rank window per query — no corpus-sized shuffle "
+        "on the score path.",
     }
     # picks whose demonstrated property only shows with broadcast joins
     # off (at sf0.01 AQE would broadcast the small side and mask it)
