@@ -2187,6 +2187,35 @@ def test_epoch_allocation_exact_apportionment(spark):
         epoch_allocation(df, "lang", {"en": 5000, "de": 4000}, total=5)
 
 
+def test_epoch_allocation_quota_property_randomized(spark):
+    """Seeded randomized sweep: for random bps weight splits and totals,
+    Hamilton apportionment satisfies (a) Σ alloc == total exactly and
+    (b) the quota property — every stratum's allocation is floor(quota)
+    or floor(quota)+1 where quota = total·w/10000 (largest-remainder
+    never strays a full seat from proportionality)."""
+    import random
+
+    from polipus_spark.functions.sampling import epoch_allocation
+
+    rng = random.Random(20260818)
+    langs = ["de", "en", "es", "fr", "zh"]
+    rows = [(i, langs[i % len(langs)]) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    for _ in range(6):
+        cuts = sorted(rng.sample(range(1, 10_000), len(langs) - 1))
+        bounds = [0, *cuts, 10_000]
+        weights = {
+            lang: bounds[i + 1] - bounds[i] for i, lang in enumerate(langs)
+        }
+        total = rng.randrange(1, 5_000)
+        out = epoch_allocation(df, "lang", weights, total).collect()
+        assert sum(r["alloc_docs"] for r in out) == total
+        for r in out:
+            q_floor = (total * weights[r["lang"]]) // 10_000
+            assert r["alloc_docs"] in (q_floor, q_floor + 1), (
+                weights, total, r["lang"], r["alloc_docs"])
+
+
 def test_hamming_near_pairs_matches_bruteforce_sweep(spark):
     """Randomized (seeded) equivalence sweep for the pigeonhole banding
     shared by SimHash text, image dHash, and the audio fingerprint:
