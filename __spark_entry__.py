@@ -2528,6 +2528,19 @@ def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned_quantiles(_events(spark, sf_dir), F.col("value"))
 
 
+def q_sketch_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mergeable quantile sketch (r5): p50/p95/p99 of events.value
+    per event_type PLUS an __all__ row whose histogram is the per-bin SUM
+    of the group histograms (one shared global grid = mergeability; the
+    merged row never re-bins the raw rows). The quantile counterpart of
+    sketch_distinct_by_type's register merge. Oracle replays the shared
+    grid, the histogram merge, and the integer rank arithmetic in SQL."""
+    from polipus_spark.functions.sketches import quantiles_by
+
+    e = _events(spark, sf_dir)
+    return quantiles_by(e, F.col("event_type"), F.col("value"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Order matters: the driver's correctness run walks this dict in order
     # and has a global time budget (r2 truncated at 50/53, r3 at 50/58).
@@ -2668,6 +2681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_knn_graph": q_sim_knn_graph,
         "sim_negative_mining": q_sim_negative_mining,
+        "sketch_quantiles_by_type": q_sketch_quantiles_by_type,
     }
     # r5 rotation (r4 VERDICT #6, "keep the ledger rotation honest"):
     # priority 0 = no r4 driver row (29 entries + the two new r5 ones),
@@ -5599,6 +5613,39 @@ def oracle_sql() -> dict[str, str]:
     # when the op sequence matches); ranks in pure integers; floor() not
     # CAST for the estimate (DuckDB's double->int cast rounds, Spark's
     # truncates)
+    out["sketch_quantiles_by_type"] = """
+      WITH stats AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      b AS (
+        SELECT event_type AS grp,
+               least(1023, CAST(floor((value - lo) / ((hi - lo) / 1024))
+                                AS BIGINT)) AS bin, lo, hi
+        FROM events, stats),
+      bins AS (SELECT grp, bin, lo, hi, count(*) AS c FROM b
+               GROUP BY 1, 2, 3, 4),
+      merged AS (SELECT '__all__' AS grp, bin, lo, hi, sum(c) AS c
+                 FROM bins GROUP BY 2, 3, 4),
+      allb AS (SELECT grp, bin, lo, hi, CAST(c AS BIGINT) AS c FROM bins
+               UNION ALL
+               SELECT grp, bin, lo, hi, CAST(c AS BIGINT) AS c FROM merged),
+      cum AS (
+        SELECT *, CAST(sum(c) OVER (PARTITION BY grp) AS BIGINT) AS n,
+               CAST(coalesce(sum(c) OVER (PARTITION BY grp ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_lo
+        FROM allb),
+      j AS (
+        SELECT cum.*, q.q_bps,
+               greatest(1::BIGINT,
+                        CAST(floor((q.q_bps * cum.n + 9999) / 10000)
+                             AS BIGINT)) AS rank
+        FROM cum, (SELECT unnest([5000, 9500, 9900]) AS q_bps) q)
+      SELECT grp, CAST(q_bps AS INT) AS q_bps, bin AS bin_idx,
+             CAST(floor((lo + bin * ((hi - lo) / 1024)
+                         + ((hi - lo) / 1024) * (rank - cum_lo) / c)
+                        * 10000) AS BIGINT) AS est_value_x4
+      FROM j
+      WHERE cum_lo < rank AND cum_lo + c >= rank
+    """
     out["sketch_quantiles"] = """
       WITH stats AS (SELECT min(value) AS lo, max(value) AS hi,
                             count(*) AS n

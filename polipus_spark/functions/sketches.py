@@ -327,3 +327,82 @@ def hll_distinct_by(
         F.col("n_buckets_seen").cast("bigint").alias("n_buckets_seen"),
         est.alias("est_distinct_x4"),
     )
+
+
+def quantiles_by(
+    df: DataFrame,
+    group: Column,
+    value: Column,
+    q_bps: tuple[int, ...] = (5000, 9500, 9900),
+    n_bins: int = QUANTILE_BINS,
+    all_label: str = "__all__",
+) -> DataFrame:
+    """Grouped histogram-sketch quantiles PLUS a merged total — the
+    quantile counterpart of :func:`hll_distinct_by`, with mergeability
+    demonstrated in-plan: every group bins its values on ONE SHARED
+    global (min, max) grid, so the ``all_label`` row's histogram is the
+    per-bin SUM of the group histograms (sketch merge — counts are
+    associative), never a re-bin of the raw rows, yet its estimates
+    equal :func:`binned_quantiles` run globally on the same column
+    (pinned by test and oracle).
+
+    Output: one row per (grp, q_bps) plus the merged rows —
+    ``(grp, q_bps, bin_idx, est_value_x4)``. Scale shape: one global
+    (min, max) agg (broadcast back), ONE groupBy over
+    (n_groups × ≤n_bins) histogram keys, a ≤n_bins-row merge, and
+    per-group windows over the bin table — the raw rows never sort and
+    never shuffle beyond the histogram combine. The shared grid is the
+    price of mergeability (a per-group grid would be tighter per group
+    but its histograms could not merge); error stays (max-min)/n_bins.
+    """
+    stats = df.agg(F.min(value).alias("lo"), F.max(value).alias("hi"))
+    width = (F.col("hi") - F.col("lo")) / F.lit(n_bins)
+    rows = df.crossJoin(F.broadcast(stats)).select(
+        group.cast("string").alias("grp"),
+        F.least(
+            F.lit(n_bins - 1).cast("bigint"),
+            F.floor((value - F.col("lo")) / width).cast("bigint"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    bins = rows.groupBy("grp", "bin", "lo", "hi").agg(F.count("*").alias("c"))
+    merged = (
+        bins.groupBy("bin", "lo", "hi")
+        .agg(F.sum("c").alias("c"))
+        .select(F.lit(all_label).alias("grp"), "bin", "lo", "hi", "c")
+    )
+    allb = bins.unionByName(merged)
+    w_n = Window.partitionBy("grp")
+    w_cum = (
+        Window.partitionBy("grp").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = allb.withColumn("n", F.sum("c").over(w_n)).withColumn(
+        "cum_lo", F.coalesce(F.sum("c").over(w_cum), F.lit(0))
+    )
+    qdf = cum.sparkSession.createDataFrame([(q,) for q in q_bps], "q_bps int")
+    joined = cum.crossJoin(F.broadcast(qdf)).withColumn(
+        "rank",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(
+                (F.col("q_bps") * F.col("n") + F.lit(SCALE - 1)) / F.lit(SCALE)
+            ).cast("bigint"),
+        ),
+    )
+    hit = joined.where(
+        (F.col("cum_lo") < F.col("rank"))
+        & (F.col("cum_lo") + F.col("c") >= F.col("rank"))
+    )
+    est = (
+        F.col("lo")
+        + F.col("bin") * width
+        + width * (F.col("rank") - F.col("cum_lo")) / F.col("c")
+    )
+    return hit.select(
+        "grp",
+        F.col("q_bps"),
+        F.col("bin").alias("bin_idx"),
+        F.floor(est * F.lit(SCALE)).cast("bigint").alias("est_value_x4"),
+    )

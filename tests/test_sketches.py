@@ -111,3 +111,35 @@ def test_hll_distinct_by_merge_equals_global(spark):
     # residues), so their registers — and estimates — are identical, and
     # merging two identical register sets changes nothing
     assert by["a"] == by["b"] == by["__all__"]
+
+
+def test_quantiles_by_merge_equals_global(spark, events):
+    """The '__all__' rows — merged by per-bin SUM of the group histograms
+    on the shared global grid, never a re-bin of the raw rows — must
+    equal binned_quantiles run globally on the same column (histogram
+    addition is associative), and every per-group estimate stays within
+    the grid's error bound of that group's exact quantile."""
+    from polipus_spark.functions.sketches import quantiles_by
+
+    by = quantiles_by(events, F.col("event_type"), F.col("value")).collect()
+    merged = {r["q_bps"]: (r["bin_idx"], r["est_value_x4"])
+              for r in by if r["grp"] == "__all__"}
+    glob = {r["q_bps"]: (r["bin_idx"], r["est_value_x4"])
+            for r in binned_quantiles(events, F.col("value")).collect()}
+    assert merged == glob
+
+    vals = sorted(r["value"] for r in events.select("value").collect())
+    lo, hi = vals[0], vals[-1]
+    bin_w = (hi - lo) / 1024
+    per_grp = {}
+    for r in events.select("event_type", "value").collect():
+        per_grp.setdefault(r["event_type"], []).append(r["value"])
+    for r in by:
+        if r["grp"] == "__all__":
+            continue
+        gv = sorted(per_grp[r["grp"]])
+        exact = gv[min(len(gv) - 1,
+                       (r["q_bps"] * len(gv) + 9999) // 10_000 - 1)]
+        est = r["est_value_x4"] / 10_000
+        assert abs(est - exact) <= 2 * bin_w + 1e-9, (
+            r["grp"], r["q_bps"], est, exact)
