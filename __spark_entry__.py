@@ -1756,6 +1756,23 @@ def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.md5("text").alias("text_md5"))
 
 
+def q_io_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout (r5): the third storage-layout leg after
+    Z-order (range clustering) and bucketing (co-located joins) — write
+    documents partitionBy(lang), read back with a two-language filter
+    that must resolve to PARTITION PRUNING (PartitionFilters on the
+    scan, only those directories listed — the static twin of the rollup
+    chunks' pruning; plan pinned by test). The partition column leaves
+    the data files and comes back from the directory names; text
+    byte-fidelity is proved by md5 against the parquet truth in the
+    oracle."""
+    d = _docs(spark, sf_dir)
+    out = os.path.join(tempfile.gettempdir(), "polipus_io_part")
+    d.write.partitionBy("lang").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out).where(F.col("lang").isin("en", "fr"))
+    return back.select("doc_id", "lang", F.md5("text").alias("text_md5"))
+
+
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE / grouping-sets OLAP (r5): revenue and counts over all four
     grouping combinations of (event_type, weekday) in one pass —
@@ -2682,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_knn_graph": q_sim_knn_graph,
         "sim_negative_mining": q_sim_negative_mining,
         "sketch_quantiles_by_type": q_sketch_quantiles_by_type,
+        "io_partitioned_read": q_io_partitioned_read,
     }
     # r5 rotation (r4 VERDICT #6, "keep the ledger rotation honest"):
     # priority 0 = no r4 driver row (29 entries + the two new r5 ones),
@@ -5244,6 +5262,10 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (ORDER BY source, doc_id) - 1
                       AS BIGINT) AS seq
           FROM documents
+        """,
+        "io_partitioned_read": """
+          SELECT doc_id, lang, md5(text) AS text_md5
+          FROM documents WHERE lang IN ('en', 'fr')
         """,
         "io_orc_roundtrip": """
           SELECT doc_id, lang, source, n_chars,

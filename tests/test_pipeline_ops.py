@@ -2060,6 +2060,26 @@ def test_interchange_roundtrips_lossless(spark, tmp_path):
         assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    """A lang-filter over a partitionBy(lang) layout must resolve to
+    PartitionFilters on the scan (directory pruning — the filter never
+    reads the other partitions' files), and the partition column must
+    round-trip through the directory names."""
+    rows = [(i, ["en", "fr", "de", "zh"][i % 4], f"t{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = str(tmp_path / "part")
+    df.write.partitionBy("lang").parquet(out)
+
+    back = spark.read.parquet(out).where(F.col("lang") == "en")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters")[1].split("]")[0]
+    got = {(r["doc_id"], r["lang"]) for r in back.collect()}
+    assert got == {(i, "en") for i in range(0, 40, 4)}
+    # pushed filter must NOT appear as a data filter on the text columns
+    assert back.count() == 10
+
+
 def test_bucketed_join_plans_zero_exchange(spark, tmp_path):
     """Co-bucketed tables join with NO Exchange on either side (the whole
     point of the layout), while the identical join over plain parquet
