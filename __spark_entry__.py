@@ -2633,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_e2e_pages": q_crawl_e2e_pages,
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_hostgraph": q_crawl_hostgraph,
+        "a5_host_hits": q_a5_host_hits,
         "crawl_prioritize": q_crawl_prioritize,
         "crawl_changed_pages": q_crawl_changed_pages,
         "text_bpe_segment": q_text_bpe_segment,
@@ -2801,6 +2802,26 @@ def q_crawl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
     )
     return pagerank(edges, n_iter=3)
+
+
+def q_a5_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 per-host hit counts as a driver-oracled entry (r5): fetched
+    stored pages per host from the entry crawl's page store — the
+    reference's per-host stats counter (polipus stats, A5 in SURVEY §2),
+    previously unit-pinned only. Spark derives the host with HOST_RE
+    (urls.url_host); the oracle emits the simulator's (url, fetched)
+    page set as VALUES and derives the host with DuckDB's OWN regexp
+    engine, so the host extraction is cross-checked, not replayed
+    (same pattern as crawl_hostgraph)."""
+    from polipus_spark.functions.urls import url_host
+
+    pages = _entry_crawl_session(spark).pages_df()
+    return (
+        pages.where(F.col("fetched"))
+        .select(url_host(F.col("url")).alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").alias("n_hits"))
+    )
 
 
 def q_crawl_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3196,6 +3217,31 @@ def _crawl_pagerank_oracle_sql() -> str:
 
 
 _HOST_RE_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def _a5_host_hits_oracle_sql() -> str:
+    """Oracle for a5_host_hits: the simulator's fetched page URLs as
+    VALUES; DuckDB derives each host with its own regexp engine."""
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.simulator import CrawlSimulator
+    from polipus_spark.sources.corpus import gen_corpus
+
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5)
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(["http://host0.example.com/", "http://host1.example.com/"])
+    rows = ",\n        ".join(
+        "('{}')".format(p.url.replace("'", "''"))
+        for p in sim.pages.values() if p.fetched
+    )
+    return f"""
+      SELECT lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS host,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM (VALUES
+        {rows}
+      ) AS t(url)
+      GROUP BY 1
+    """
 
 
 def _crawl_hostgraph_oracle_sql() -> str:
@@ -5448,6 +5494,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_e2e_pages": _crawl_e2e_oracle_sql(),
         "crawl_pagerank": _crawl_pagerank_oracle_sql(),
         "crawl_hostgraph": _crawl_hostgraph_oracle_sql(),
+        "a5_host_hits": _a5_host_hits_oracle_sql(),
         "crawl_url_templates": _crawl_url_templates_oracle_sql(),
         "crawl_prioritize": _crawl_prioritize_oracle_sql(),
         "crawl_changed_pages": _crawl_changed_pages_oracle_sql(),
