@@ -2178,6 +2178,49 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_near_pairs(media, min_common=3)
 
 
+def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection (r5): REAL Y4M decode → fingerprint per
+    frame → keyed lag window counts fingerprint changes → shots = cuts+1.
+    Fixture: each doc renders an 8-frame 2×2 C444 clip whose shot
+    structure is md5-derived — a cut lands before frame i iff the first
+    hex nibble of md5('cut'‖doc‖i) is < 8 (p=½ per boundary), and every
+    frame's pixels are md5('sh'‖doc‖shot_idx) — so shot counts vary 1–8
+    across docs. Oracle: DuckDB re-derives the cut bits, the cumulative
+    shot index, each frame's hex, AND the fingerprint from the identical
+    md5 arithmetic, then replays the same lag-compare — the decode path
+    and the window path are both load-bearing."""
+    from polipus_spark.functions.multimodal import video_scene_cuts
+
+    d = _docs(spark, sf_dir)
+    s = F.col("doc_id").cast("string")
+    frames = []
+    shot = F.lit(0)
+    for i in range(8):
+        if i > 0:
+            cut = (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("cut"), s, F.lit(f"_{i}"))),
+                        1, 1),
+                    16, 10,
+                ).cast("int") < 8
+            ).cast("int")
+            shot = shot + cut
+        frames.append(
+            F.substring(
+                F.md5(F.concat(F.lit("sh"), s, F.lit("_"),
+                               shot.cast("string"))), 1, 24))
+    body = F.concat(*[
+        F.concat(F.lit("FRAME\n").cast("binary"),
+                 F.to_binary(fx, F.lit("hex")))
+        for fx in frames
+    ])
+    payload = F.concat(
+        F.lit("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n").cast("binary"), body)
+    media = d.select("doc_id", payload.alias("payload"))
+    return video_scene_cuts(media)
+
+
 def q_events_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton (Z-order) clustering key over (user_id, value_cents) — the
     OPTIMIZE ZORDER layout primitive: range-partitioning on this key gives
@@ -2701,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_negative_mining": q_sim_negative_mining,
         "sketch_quantiles_by_type": q_sketch_quantiles_by_type,
         "io_partitioned_read": q_io_partitioned_read,
+        "video_scene_cuts": q_video_scene_cuts,
     }
     # r5 rotation (r4 VERDICT #6, "keep the ledger rotation honest"):
     # priority 0 = no r4 driver row (29 entries + the two new r5 ones),
@@ -5308,6 +5352,36 @@ def oracle_sql() -> dict[str, str]:
                  CAST(row_number() OVER (ORDER BY source, doc_id) - 1
                       AS BIGINT) AS seq
           FROM documents
+        """,
+        "video_scene_cuts": """
+          WITH f AS (
+            SELECT doc_id, i.i AS idx,
+                   CASE WHEN i.i = 0 THEN 0
+                        WHEN CAST(concat('0x', substr(md5(concat('cut',
+                               CAST(doc_id AS VARCHAR), '_',
+                               CAST(i.i AS VARCHAR))), 1, 1)) AS INT) < 8
+                        THEN 1 ELSE 0 END AS cut
+            FROM documents, unnest(range(0, 8)) i(i)),
+          s AS (
+            SELECT doc_id, idx,
+                   sum(cut) OVER (PARTITION BY doc_id ORDER BY idx
+                                  ROWS UNBOUNDED PRECEDING) AS shot
+            FROM f),
+          h AS (
+            SELECT doc_id, idx,
+                   CAST(concat('0x', substr(md5(substr(md5(concat('sh',
+                          CAST(doc_id AS VARCHAR), '_',
+                          CAST(shot AS VARCHAR))), 1, 24)), 1, 15))
+                        AS BIGINT) AS fh
+            FROM s),
+          c AS (
+            SELECT doc_id, fh,
+                   lag(fh) OVER (PARTITION BY doc_id ORDER BY idx) AS pfh
+            FROM h)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(1 + sum(CASE WHEN pfh IS NOT NULL AND fh <> pfh
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS n_shots
+          FROM c GROUP BY doc_id
         """,
         "io_partitioned_read": """
           SELECT doc_id, lang, md5(text) AS text_md5

@@ -1077,3 +1077,38 @@ def video_near_pairs(media: DataFrame, min_common: int = 2,
         .agg(F.count("*").cast("bigint").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
+
+
+def video_scene_cuts(media: DataFrame, every_n: int = 1,
+                     id_col: str = "doc_id",
+                     payload_col: str = "payload") -> DataFrame:
+    """Shot-boundary detection over REAL Y4M decode: a cut wherever the
+    sampled frame's fingerprint differs from the previous sampled
+    frame's — raw YUV is uncompressed, so fingerprint equality IS byte
+    equality and a "shot" is a maximal run of identical frames (the
+    exact-raw special case of scene detection; perceptual-distance
+    variants swap the equality predicate, not the dataflow). Output:
+    ``(id, n_sampled, n_shots)`` with ``n_shots = cuts + 1``.
+
+    Plan: the ONE mapInPandas decode pass of
+    :func:`video_frame_hashes` (pixels never shuffle; ~16 B per sampled
+    frame crosses the wire), then a single keyed lag window over the
+    fingerprint rows and a count aggregate — at 100 TB the window
+    partitions by video id, whose row count is bounded by
+    frames/every_n, the same 1/N cost lever as :func:`video_stats`."""
+    from pyspark.sql import Window
+
+    fr = video_frame_hashes(media, every_n=every_n, id_col=id_col,
+                            payload_col=payload_col)
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    prev = F.lag("fh").over(w)
+    return (
+        fr.withColumn(
+            "_cut",
+            (prev.isNotNull() & (F.col("fh") != prev)).cast("int"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            (F.sum("_cut") + F.lit(1)).cast("bigint").alias("n_shots"),
+        )
+    )

@@ -1960,6 +1960,31 @@ def test_video_near_pairs_hand_case(spark):
         == [(1, 2, 2)]
 
 
+def test_video_scene_cuts_hand_case(spark):
+    """Shot runs [A,A,B,B,B,C] → 3 shots; frame sampling every 2 sees
+    [A,B,B] → 2 shots (sampling can only merge shots, never split);
+    single-shot and corrupt clips behave."""
+    from polipus_spark.functions.multimodal import video_scene_cuts
+
+    def clip(frames):
+        body = b"".join(b"FRAME\n" + f for f in frames)
+        return b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n" + body
+
+    fa, fb, fc = (bytes([i] * 12) for i in range(3))
+    rows = [
+        (1, clip([fa, fa, fb, fb, fb, fc])),
+        (2, clip([fa, fa, fa])),
+        (3, b"not a video"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["n_sampled"], r["n_shots"])
+           for r in video_scene_cuts(media).collect()}
+    assert got == {1: (6, 3), 2: (3, 1)}
+    sampled = {r["doc_id"]: (r["n_sampled"], r["n_shots"])
+               for r in video_scene_cuts(media, every_n=2).collect()}
+    assert sampled == {1: (3, 2), 2: (2, 1)}
+
+
 def test_containment_pairs_subset_detection(spark):
     """A short doc quoted whole inside a long one: Jaccard is low (subset
     of a much bigger set) but containment is 10000; unrelated docs don't
