@@ -1248,6 +1248,38 @@ def q_events_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental continuous-aggregate REFRESH (r5): build the
+    hour-bucket rollup from events below an 18h cut, then merge the
+    remaining 6h of events in as a new batch — partials compose (counts
+    and sums add) and only the touched bucket partitions are rewritten
+    (dynamic partition overwrite; untouched-dirs-unchanged pinned by
+    test). The refreshed rollup, re-aggregated per event_type over ALL
+    buckets, must equal the oracle's direct aggregation over the raw
+    events — the materialized-view maintenance contract (refresh cost ∝
+    batch span, result == full recompute)."""
+    from polipus_spark.operators.rollup import build_time_rollup, refresh_rollup
+
+    ev = _events(spark, sf_dir).select(
+        F.unix_timestamp("ts").cast("bigint").alias("es"),
+        "event_type", "value",
+    )
+    out = os.path.join(tempfile.gettempdir(), "polipus_rollup_refresh")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    build_time_rollup(ev.where(F.col("es") < _ROLLUP_SPLIT), out)
+    refresh_rollup(spark, out, ev.where(F.col("es") >= _ROLLUP_SPLIT))
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_cents").cast("bigint").alias("sum_value_cents"),
+        )
+    )
+
+
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge training (r4): 6 merges over the documents
     vocab. One corpus-proportional word-count pass; every Lloyd-style
@@ -2650,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_rollup_agg": q_events_rollup_agg,
+        "events_rollup_refresh": q_events_rollup_refresh,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
         "graph_clustering": q_graph_clustering,
@@ -4466,6 +4499,14 @@ def oracle_sql() -> dict[str, str]:
                    AS sum_value_cents
           FROM wins w JOIN ev e ON e.es BETWEEN w.ws AND w.we
           GROUP BY w.win_id
+        """,
+        "events_rollup_refresh": """
+          SELECT event_type,
+                 count(*) AS n_events,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_value_cents
+          FROM events
+          GROUP BY event_type
         """,
         "events_rollup_agg": f"""
           SELECT event_type,

@@ -93,3 +93,66 @@ def rollup_range_agg(
             F.sum("sum_value_cents").cast("bigint").alias("sum_value_cents"),
         )
     )
+
+
+def refresh_rollup(
+    spark,
+    rollup_dir: str,
+    new_events: DataFrame,
+    ts_col: str = "es",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+) -> list[int]:
+    """Incremental continuous-aggregate refresh — the materialized-view
+    maintenance step: aggregate the NEW batch into per-(bucket, key)
+    partials, merge them with the EXISTING partials of only the touched
+    buckets (partials compose: counts and sums add), and rewrite JUST
+    those bucket directories via dynamic partition overwrite. Untouched
+    bucket partitions are never read and never rewritten, so refresh
+    cost is ∝ the batch's time span, never ∝ history — at 100 TB a
+    day's ingest updates a day's buckets while years of rollup sit
+    still. Returns the touched bucket keys (driver-side list, bounded by
+    batch-span/bucket_s — the same bounded-collect class as the
+    politeness budget frame).
+    """
+    batch = (
+        new_events
+        .withColumn("bucket",
+                    (F.floor(F.col(ts_col) / bucket_s) * bucket_s).cast("bigint"))
+        .groupBy("bucket", key_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(_cents(value_col)).cast("bigint").alias("sum_value_cents"),
+        )
+    )
+    touched = sorted(r["bucket"] for r in batch.select("bucket").distinct().collect())
+    if not touched:
+        return []
+    old = (
+        spark.read.parquet(rollup_dir)
+        .where(F.col("bucket").isin(touched))
+        .select("bucket", key_col, "n_events", "sum_value_cents")
+    )
+    merged = (
+        old.unionByName(batch.select("bucket", key_col, "n_events",
+                                     "sum_value_cents"))
+        .groupBy("bucket", key_col)
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sum_value_cents").cast("bigint").alias("sum_value_cents"),
+        )
+    )
+    # the merge reads the same path the overwrite rewrites — materialize
+    # the (touched-buckets-sized) result first to break the file lineage
+    # (Spark rejects a self-overwriting path-based write otherwise)
+    merged = merged.localCheckpoint(eager=True)
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        (merged.write.mode("overwrite").partitionBy("bucket")
+         .parquet(rollup_dir))
+    finally:
+        spark.conf.set(mode_key, prev)
+    return touched

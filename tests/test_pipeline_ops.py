@@ -1960,6 +1960,45 @@ def test_video_near_pairs_hand_case(spark):
         == [(1, 2, 2)]
 
 
+def test_refresh_rollup_touches_only_batch_buckets(spark, tmp_path):
+    """Incremental refresh rewrites ONLY the buckets the new batch
+    touches (file set of untouched partitions is unchanged on disk),
+    composes partials exactly (refreshed rollup == full recompute), and
+    an empty batch is a no-op."""
+    import os
+
+    from polipus_spark.operators.rollup import build_time_rollup, refresh_rollup
+
+    def ev(rows):
+        return spark.createDataFrame(rows, "es long, event_type string, value double")
+
+    hist = ev([(0, "a", 1.0), (10, "b", 2.0), (3600, "a", 3.0),
+               (7200, "b", 4.0)])
+    out = str(tmp_path / "ru")
+    build_time_rollup(hist, out)
+
+    def files(bucket):
+        d = os.path.join(out, f"bucket={bucket}")
+        return {(f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    before_0, before_7200 = files(0), files(7200)
+    touched = refresh_rollup(spark, out, ev([(3700, "a", 5.0),
+                                             (3800, "c", 6.0)]))
+    assert touched == [3600]
+    assert files(0) == before_0 and files(7200) == before_7200
+
+    got = {(r["bucket"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+           for r in spark.read.parquet(out).collect()}
+    full = ev([(0, "a", 1.0), (10, "b", 2.0), (3600, "a", 3.0),
+               (7200, "b", 4.0), (3700, "a", 5.0), (3800, "c", 6.0)])
+    build_time_rollup(full, str(tmp_path / "full"))
+    want = {(r["bucket"], r["event_type"]): (r["n_events"], r["sum_value_cents"])
+            for r in spark.read.parquet(str(tmp_path / "full")).collect()}
+    assert got == want
+    assert refresh_rollup(spark, out, ev([])) == []
+
+
 def test_video_scene_cuts_hand_case(spark):
     """Shot runs [A,A,B,B,B,C] → 3 shots; frame sampling every 2 sees
     [A,B,B] → 2 shots (sampling can only merge shots, never split);
