@@ -2710,6 +2710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_pagerank": q_crawl_pagerank,
         "crawl_hostgraph": q_crawl_hostgraph,
         "a5_host_hits": q_a5_host_hits,
+        "j1_bloom_probe": q_j1_bloom_probe,
         "crawl_prioritize": q_crawl_prioritize,
         "crawl_changed_pages": q_crawl_changed_pages,
         "text_bpe_segment": q_text_bpe_segment,
@@ -2899,6 +2900,50 @@ def q_a5_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def _bloom_params(capacity: int = 2048, error_rate: float = 0.01,
+                  n_buckets: int = 32) -> tuple[int, int]:
+    """(m_bucket, k) by the same standard-Bloom sizing as BloomTracker —
+    duplicated arithmetic (3 lines) so the oracle SQL can embed the
+    literals without constructing a tracker."""
+    import math
+
+    m_total = max(64, int(math.ceil(
+        -capacity * math.log(error_rate) / (math.log(2) ** 2))))
+    m_bucket = int(math.ceil(m_total / n_buckets / 8.0)) * 8
+    k = max(1, round(m_total / capacity * math.log(2)))
+    return m_bucket, k
+
+
+def q_j1_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 hash-oracled (r5): the per-partition Bloom tracker ITSELF —
+    mark the even-doc_id URLs into the 32-bucket bitmaps (J2 insert path,
+    snapshot-committed), probe ALL 500 URLs (J1 cogroup+numpy probe),
+    and return every key's membership verdict INCLUDING the deterministic
+    false positives. The oracle replays the identical double-hash bit
+    arithmetic in SQL — h1/h2 from md5 hex, bucket = h1 % 32, position_i
+    = (h1//32 + i·h2) mod m_bucket (all < 2^63, so BIGINT math equals
+    the numpy uint64 path), membership = every probe position present in
+    the marked-bit set of the SAME bucket. Previously spec+FPR-bound
+    pinned; this row pins the exact bitmaps the north rule's URL-seen
+    tracker computes."""
+    import shutil
+
+    from polipus_spark.catalog import SnapshotCatalog
+    from polipus_spark.operators.tracker import BloomTracker
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit("http://docs.example/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    base = os.path.join(tempfile.gettempdir(), "polipus_j1_oracle")
+    shutil.rmtree(base, ignore_errors=True)
+    cat = SnapshotCatalog(spark, base)
+    bt = BloomTracker(cat, capacity=2048, error_rate=0.01, n_buckets=32)
+    bt.mark_seen(d.where(F.col("doc_id") % 2 == 0), "url")
+    return bt.probe(d, "url").select(
+        "doc_id", F.col("_seen").alias("seen"))
 
 
 def q_crawl_hostgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3294,6 +3339,38 @@ def _crawl_pagerank_oracle_sql() -> str:
 
 
 _HOST_RE_SQL = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)"
+
+
+def _j1_bloom_probe_oracle_sql() -> str:
+    """Oracle for j1_bloom_probe: the double-hash Bloom bit arithmetic
+    replayed in pure SQL (see q_j1_bloom_probe for the layout argument;
+    every intermediate fits BIGINT, so DuckDB integer math equals the
+    tracker's numpy uint64 path)."""
+    m_bucket, k = _bloom_params(capacity=2048, error_rate=0.01, n_buckets=32)
+    return f"""
+      WITH d AS (
+        SELECT doc_id,
+               concat('http://docs.example/', CAST(doc_id AS VARCHAR)) AS url
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(url), 1, 15)) AS BIGINT) AS h1,
+               CAST(concat('0x', substr(md5(url), 16, 15)) AS BIGINT) AS h2
+        FROM d),
+      hb AS (SELECT doc_id, h1 % 32 AS bucket, h1 // 32 AS h1d, h2 FROM h),
+      mark_pos AS (
+        SELECT DISTINCT bucket, (h1d + i.i * h2) % {m_bucket} AS pos
+        FROM hb, unnest(range(0, {k})) i(i)
+        WHERE doc_id % 2 = 0),
+      probe_pos AS (
+        SELECT doc_id, bucket, i.i AS i, (h1d + i.i * h2) % {m_bucket} AS pos
+        FROM hb, unnest(range(0, {k})) i(i)),
+      j AS (
+        SELECT p.doc_id, (m.pos IS NOT NULL) AS hit
+        FROM probe_pos p
+        LEFT JOIN mark_pos m ON m.bucket = p.bucket AND m.pos = p.pos)
+      SELECT doc_id, bool_and(hit) AS seen FROM j GROUP BY doc_id
+    """
 
 
 def _a5_host_hits_oracle_sql() -> str:
@@ -5610,6 +5687,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_pagerank": _crawl_pagerank_oracle_sql(),
         "crawl_hostgraph": _crawl_hostgraph_oracle_sql(),
         "a5_host_hits": _a5_host_hits_oracle_sql(),
+        "j1_bloom_probe": _j1_bloom_probe_oracle_sql(),
         "crawl_url_templates": _crawl_url_templates_oracle_sql(),
         "crawl_prioritize": _crawl_prioritize_oracle_sql(),
         "crawl_changed_pages": _crawl_changed_pages_oracle_sql(),
