@@ -2711,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_hostgraph": q_crawl_hostgraph,
         "a5_host_hits": q_a5_host_hits,
         "j1_bloom_probe": q_j1_bloom_probe,
+        "f6_recrawl_due": q_f6_recrawl_due,
         "crawl_prioritize": q_crawl_prioritize,
         "crawl_changed_pages": q_crawl_changed_pages,
         "text_bpe_segment": q_text_bpe_segment,
@@ -2900,6 +2901,57 @@ def q_a5_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("host")
         .agg(F.count("*").alias("n_hits"))
     )
+
+
+def q_f6_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6's queryable face (r5): the TTL re-crawl due-list over the entry
+    crawl's page store — fetched pages whose wave-clock fetched_at is at
+    or past the TTL horizon ((now − ttl) >= fetched_at with ttl=1 wave,
+    the >=-side complement of the crawler's strict `_expired_cond`,
+    evaluated against the store's own max-wave clock, derived as a
+    broadcast 1-row max, no driver collect). This is the scheduling
+    query a recrawl planner runs against the store; the expiry BRANCH
+    inside the live policy chain stays pinned by the sim's ttl_recrawl
+    scenario. Oracle: the simulator's (uuid, url, fetched_at) page set
+    as VALUES with the identical integer arithmetic."""
+    fetched = _entry_crawl_session(spark).pages_df().where(F.col("fetched"))
+    now = fetched.agg(F.max("fetched_at").alias("_now"))
+    return (
+        fetched.crossJoin(F.broadcast(now))
+        .where((F.col("_now") - F.lit(1)) >= F.col("fetched_at"))
+        .select("uuid", "url",
+                F.col("fetched_at").cast("bigint").alias("fetched_at"))
+    )
+
+
+def _f6_recrawl_due_oracle_sql() -> str:
+    """Oracle for f6_recrawl_due: replay the same TTL arithmetic over the
+    simulator's page set."""
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.simulator import CrawlSimulator
+    from polipus_spark.sources.corpus import gen_corpus
+
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5)
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(["http://host0.example.com/", "http://host1.example.com/"])
+    rows = ",\n        ".join(
+        "('{}', '{}', {})".format(
+            p.uuid, p.url.replace("'", "''"), p.fetched_at)
+        for p in sim.pages.values() if p.fetched
+    )
+    return f"""
+      WITH pages AS (
+        SELECT CAST(uuid AS VARCHAR) AS uuid, CAST(url AS VARCHAR) AS url,
+               CAST(fetched_at AS BIGINT) AS fetched_at
+        FROM (VALUES
+        {rows}
+        ) AS t(uuid, url, fetched_at)),
+      now_w AS (SELECT max(fetched_at) AS now FROM pages)
+      SELECT uuid, url, fetched_at
+      FROM pages, now_w
+      WHERE (now - 1) >= fetched_at
+    """
 
 
 def _bloom_params(capacity: int = 2048, error_rate: float = 0.01,
@@ -5688,6 +5740,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_hostgraph": _crawl_hostgraph_oracle_sql(),
         "a5_host_hits": _a5_host_hits_oracle_sql(),
         "j1_bloom_probe": _j1_bloom_probe_oracle_sql(),
+        "f6_recrawl_due": _f6_recrawl_due_oracle_sql(),
         "crawl_url_templates": _crawl_url_templates_oracle_sql(),
         "crawl_prioritize": _crawl_prioritize_oracle_sql(),
         "crawl_changed_pages": _crawl_changed_pages_oracle_sql(),
