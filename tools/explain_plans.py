@@ -260,6 +260,11 @@ def main() -> None:
         "broadcast(8 queries), broadcast left-anti exclusion of the top-k "
         "positives, md5-rank window per query — no corpus-sized shuffle "
         "on the score path.",
+        "j1_bloom_probe": "J1 Bloom probe (r5): JVM-side md5 hash seeds, "
+        "ONE cogroup of (keys by bucket) with (bitmaps by bucket) into "
+        "FlatMapCoGroupsInPandas — the numpy bit math runs once per "
+        "bucket partition; keys never cross buckets, bitmaps never "
+        "leave theirs.",
     }
     # picks whose demonstrated property only shows with broadcast joins
     # off (at sf0.01 AQE would broadcast the small side and mask it)
