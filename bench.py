@@ -349,8 +349,17 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "streaming_sessionize_parity", "io_orc_roundtrip", "events_cube",
         "ids_contiguous", "events_pivot", "events_json_extract",
         "text_quality_deciles",
-        # (crawl_url_templates is deliberately NOT in the sweep: its cost
-        # is the shared entry crawl session, not the template rollup)
+        # r5 seventh batch: epoch take, negative mining, grouped
+        # quantiles, partitioned layout, video shot boundaries,
+        # incremental rollup refresh, and the bit-exact Bloom probe
+        "sample_epoch_take", "sim_negative_mining",
+        "sketch_quantiles_by_type", "io_partitioned_read",
+        "video_scene_cuts", "events_rollup_refresh", "j1_bloom_probe",
+        # (crawl_url_templates / a5_host_hits / f6_recrawl_due are
+        # deliberately NOT in the sweep: their cost is the shared entry
+        # crawl session, not the query; streaming_funnel/windowed/resume
+        # parities are excluded because sessionize_parity already times
+        # the Structured Streaming path once per sweep)
     ]
     out: dict[str, float] = {}
     for i, name in enumerate(headline):
