@@ -536,6 +536,26 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_sample(d, "lang").select("doc_id", "lang")
 
 
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in-engine (r5): the confusion matrix of the
+    n-gram lang_id heuristic against the corpus's stored labels — one
+    groupBy over (true, predicted), the quality-monitoring query every
+    in-pipeline classifier needs (per-class precision/recall are row
+    ratios of this frame). Map-side predict fused into the scan; the
+    matrix is |langs|² rows. Oracle: the same CASE-chain replay of the
+    scoring loop (shared with sample_stratified's oracle) aggregated
+    identically."""
+    from polipus_spark.functions.text import lang_id
+
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.col("lang").alias("true_lang"),
+                 lang_id(F.col("text")).alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
 def q_sample_epoch_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch budget apportionment (r5): largest-remainder (Hamilton)
     allocation of a 1,003-document training-epoch budget across the
@@ -1378,6 +1398,98 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_results"),
         )
     )
+
+
+def q_sim_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN operating-point curve (r5): recall@5 of ivf_topk vs exact
+    brute force at n_probe ∈ {1, 2, 4} of 8 lists — the probe/recall
+    trade-off an ANN deployment tunes, measured in-engine as three rows
+    of one frame (sim_ann_recall monitors ONE operating point; this
+    entry hash-checks the CURVE). On the synthetic near-uniform
+    embeddings recall tracks the ~n_probe/K no-structure floor, rising
+    toward 100 % as probes approach K. Oracle: the ivf CTE replayed per
+    probe count, each joined against the brute-force top-5, UNION ALL."""
+    from functools import reduce
+
+    from polipus_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8)
+    exact = brute_force_topk(q, emb, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    outs = []
+    for p in (1, 2, 4):
+        a = ivf_topk(q, emb, n_centroids=8, k=5, n_probe=p)
+        outs.append(
+            a.join(exact, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.lit(p).cast("int").alias("n_probe"),
+                F.floor(
+                    F.sum(F.coalesce(F.col("_hit"), F.lit(0))) * 100
+                    / F.count("*")
+                ).cast("int").alias("recall_pct"),
+                F.count("*").cast("bigint").alias("n_results"),
+            )
+        )
+    return reduce(DataFrame.unionByName, outs)
+
+
+def _ivf_recall_sql(n_probe: int) -> str:
+    """One recall-curve point: the sim_ivf_topk CTE at ``n_probe`` joined
+    against the brute-force exact top-5."""
+    return f"""
+        SELECT CAST({n_probe} AS INT) AS n_probe,
+               CAST(floor(sum(CASE WHEN ex.neighbor_id IS NOT NULL
+                                   THEN 1 ELSE 0 END) * 100 / count(*))
+                    AS INT) AS recall_pct,
+               CAST(count(*) AS BIGINT) AS n_results
+        FROM (
+          WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding AS cent
+            FROM embeddings ORDER BY vec_id LIMIT 8),
+          assign AS (
+            SELECT vec_id AS neighbor_id, centroid_id FROM (
+              SELECT e.vec_id, c.centroid_id,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY list_cosine_similarity(e.embedding, c.cent) DESC,
+                                c.centroid_id ASC) AS _rn
+              FROM embeddings e, cents c)
+            WHERE _rn = 1),
+          probe AS (
+            SELECT query_id, centroid_id FROM (
+              SELECT q.vec_id AS query_id, c.centroid_id,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding, c.cent) DESC,
+                                c.centroid_id ASC) AS _rn
+              FROM embeddings q, cents c WHERE q.vec_id < 8)
+            WHERE _rn <= {n_probe})
+          SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY p.query_id
+                     ORDER BY list_cosine_similarity(q.embedding, n.embedding) DESC,
+                              a.neighbor_id ASC) AS rank
+            FROM probe p
+            JOIN assign a ON a.centroid_id = p.centroid_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN embeddings n ON n.vec_id = a.neighbor_id
+            WHERE p.query_id <> a.neighbor_id)
+          WHERE rank <= 5
+        ) ap
+        LEFT JOIN (
+          SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                              c.vec_id ASC) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          WHERE rank <= 5
+        ) ex USING (query_id, neighbor_id)
+    """
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2677,6 +2789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_pq_topk": q_sim_pq_topk,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_ann_recall": q_sim_ann_recall,
+        "sim_recall_curve": q_sim_recall_curve,
+        "text_langid_confusion": q_text_langid_confusion,
         "dedup_incremental": q_dedup_incremental,
         "text_bpe_merges": q_text_bpe_merges,
         "events_asof_join": q_events_asof_join,
@@ -4396,6 +4510,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents)
           SELECT doc_id, lang FROM r, m WHERE rk <= m
         """,
+        "text_langid_confusion": f"""
+          SELECT lang AS true_lang, {_lang_case_sql()} AS pred_lang,
+                 CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents
+          GROUP BY 1, 2
+        """,
         "sample_epoch_alloc": """
           WITH c AS (
             SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang),
@@ -5740,6 +5860,8 @@ def oracle_sql() -> dict[str, str]:
         "crawl_hostgraph": _crawl_hostgraph_oracle_sql(),
         "a5_host_hits": _a5_host_hits_oracle_sql(),
         "j1_bloom_probe": _j1_bloom_probe_oracle_sql(),
+        "sim_recall_curve": " UNION ALL ".join(
+            _ivf_recall_sql(p) for p in (1, 2, 4)),
         "f6_recrawl_due": _f6_recrawl_due_oracle_sql(),
         "crawl_url_templates": _crawl_url_templates_oracle_sql(),
         "crawl_prioritize": _crawl_prioritize_oracle_sql(),
