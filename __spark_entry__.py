@@ -2826,6 +2826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_host_hits": q_a5_host_hits,
         "j1_bloom_probe": q_j1_bloom_probe,
         "f6_recrawl_due": q_f6_recrawl_due,
+        "crawl_politeness_audit": q_crawl_politeness_audit,
         "crawl_prioritize": q_crawl_prioritize,
         "crawl_changed_pages": q_crawl_changed_pages,
         "text_bpe_segment": q_text_bpe_segment,
@@ -3536,6 +3537,51 @@ def _j1_bloom_probe_oracle_sql() -> str:
         FROM probe_pos p
         LEFT JOIN mark_pos m ON m.bucket = p.bucket AND m.pos = p.pos)
       SELECT doc_id, bool_and(hit) AS seen FROM j GROUP BY doc_id
+    """
+
+
+def q_crawl_politeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness AUDIT query (r5): fetches per (host, wave) over the
+    entry crawl's page store — the compliance check an operator runs
+    against crawl output ("did any wave exceed a host's budget"; A6
+    enforces the budget in the pop, this query verifies it from the
+    stored evidence). Cached session; one groupBy. Oracle: the
+    simulator's fetched (url, wave) pairs as VALUES, host derived by
+    DuckDB's own regexp — same cross-check discipline as a5/hostgraph."""
+    from polipus_spark.functions.urls import url_host
+
+    pages = _entry_crawl_session(spark).pages_df()
+    return (
+        pages.where(F.col("fetched"))
+        .select(url_host(F.col("url")).alias("host"),
+                F.col("wave").cast("int").alias("wave"))
+        .groupBy("host", "wave")
+        .agg(F.count("*").cast("bigint").alias("n_fetches"))
+    )
+
+
+def _crawl_politeness_audit_oracle_sql() -> str:
+    """Oracle for crawl_politeness_audit: simulator (url, wave) VALUES."""
+    from polipus_spark.config import CrawlOptions
+    from polipus_spark.simulator import CrawlSimulator
+    from polipus_spark.sources.corpus import gen_corpus
+
+    docs = gen_corpus(n_hosts=3, max_docs_per_host=6)
+    opts = CrawlOptions(depth_limit=2, obey_robots_txt=True, max_waves=5)
+    sim = CrawlSimulator(docs, opts)
+    sim.takeover(["http://host0.example.com/", "http://host1.example.com/"])
+    rows = ",\n        ".join(
+        "('{}', {})".format(p.url.replace("'", "''"), p.wave)
+        for p in sim.pages.values() if p.fetched
+    )
+    return f"""
+      SELECT lower(regexp_extract(url, '{_HOST_RE_SQL}', 1)) AS host,
+             CAST(wave AS INT) AS wave,
+             CAST(count(*) AS BIGINT) AS n_fetches
+      FROM (VALUES
+        {rows}
+      ) AS t(url, wave)
+      GROUP BY 1, 2
     """
 
 
@@ -5863,6 +5909,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_recall_curve": " UNION ALL ".join(
             _ivf_recall_sql(p) for p in (1, 2, 4)),
         "f6_recrawl_due": _f6_recrawl_due_oracle_sql(),
+        "crawl_politeness_audit": _crawl_politeness_audit_oracle_sql(),
         "crawl_url_templates": _crawl_url_templates_oracle_sql(),
         "crawl_prioritize": _crawl_prioritize_oracle_sql(),
         "crawl_changed_pages": _crawl_changed_pages_oracle_sql(),
