@@ -1519,6 +1519,21 @@ def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb.where(F.col("vec_id") < 8), emb, k=5)
 
 
+def q_sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIPS retrieval (r5): dot-product top-5 per query served through
+    the norm-augmentation reduction — the engine appends sqrt(M²−‖x‖²)
+    to every corpus vector and 0 to every query, then runs its COSINE
+    search on the augmented space; the oracle computes dot-product top-k
+    DIRECTLY with list_inner_product. Green iff the reduction preserves
+    the exact ranking (constant augmented norm ⇒ cosine order == dot
+    order) — the transform that lets the whole cosine ANN stack serve
+    inner-product retrievers unchanged."""
+    from polipus_spark.functions.similarity import mips_topk
+
+    emb = _emb(spark, sf_dir)
+    return mips_topk(emb.where(F.col("vec_id") < 8), emb, k=5)
+
+
 def q_sim_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive-training negative sampling (r5): per query (8 of
     them), exclude the top-5 cosine neighbors (likely positives) and the
@@ -2892,6 +2907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_knn_graph": q_sim_knn_graph,
         "sim_negative_mining": q_sim_negative_mining,
+        "sim_mips_topk": q_sim_mips_topk,
         "sketch_quantiles_by_type": q_sketch_quantiles_by_type,
         "io_partitioned_read": q_io_partitioned_read,
         "video_scene_cuts": q_video_scene_cuts,
@@ -5450,6 +5466,17 @@ def oracle_sql() -> dict[str, str]:
                              list_max(list_transform(embedding,
                                x -> abs(CAST(x AS DOUBLE)))) AS m
                       FROM embeddings))
+        """,
+        "sim_mips_topk": """
+          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY list_inner_product(q.embedding, c.embedding) DESC,
+                              c.vec_id ASC) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id)
+          WHERE rank <= 5
         """,
         "sim_negative_mining": """
           WITH topk AS (

@@ -74,6 +74,54 @@ def brute_force_topk(
     )
 
 
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Maximum-inner-product top-k via the norm-augmentation reduction to
+    cosine search (the classic MIPS→NNS transform): every corpus vector
+    gains one dimension sqrt(M² − ‖x‖²) where M = max corpus norm, every
+    query gains 0 — augmented norms are the constant M, so cosine ORDER
+    in the augmented space equals inner-product order in the original.
+    This is the transform that lets the whole cosine ANN stack (IVF, PQ,
+    IVF-PQ, LSH) serve dot-product retrieval (the scoring used by
+    DSSM-style retrievers) unchanged: at scale, swap this exact
+    brute-force leg for ``ivf_topk``/``ivfpq_topk`` over the SAME
+    augmented column. M² arrives as a broadcast 1-row max (no driver
+    collect); output (query_id, neighbor_id, rank) with the same
+    neighbor-id tie-break as every other search op."""
+    c = corpus.select(F.col(c_id).alias("nid"),
+                      F.transform(F.col(c_vec),
+                                  lambda x: x.cast("double")).alias("_cv"))
+    c = c.withColumn("_n2", dot(F.col("_cv"), F.col("_cv")))
+    m2 = c.agg(F.max("_n2").alias("_m2"))
+    aug_c = (
+        c.crossJoin(F.broadcast(m2))
+        .select(
+            "nid",
+            F.concat(
+                F.col("_cv"),
+                F.array(F.sqrt(F.greatest(F.col("_m2") - F.col("_n2"),
+                                          F.lit(0.0)))),
+            ).alias("_acv"),
+        )
+    )
+    aug_q = queries.select(
+        F.col(q_id).alias("qid"),
+        F.concat(
+            F.transform(F.col(q_vec), lambda x: x.cast("double")),
+            F.array(F.lit(0.0)),
+        ).alias("_aqv"),
+    )
+    return brute_force_topk(aug_q, aug_c, k=k, q_id="qid", q_vec="_aqv",
+                            c_id="nid", c_vec="_acv")
+
+
 def negative_mining(
     queries: DataFrame,
     corpus: DataFrame,
