@@ -1960,6 +1960,24 @@ def test_video_near_pairs_hand_case(spark):
         == [(1, 2, 2)]
 
 
+def test_mips_topk_orders_by_dot_not_cosine(spark):
+    """The norm-augmentation reduction must rank by INNER PRODUCT: a
+    short perfectly-aligned vector (cosine 1.0, dot 0.5) loses to a
+    long diagonal one (cosine 0.707, dot 3.0) — the case where cosine
+    search and MIPS disagree."""
+    from polipus_spark.functions.similarity import mips_topk
+
+    rows = [(0, [1.0, 0.0]),       # the query
+            (1, [0.5, 0.0]),       # cos 1.0, dot 0.5
+            (2, [3.0, 3.0]),       # cos .707, dot 3.0
+            (3, [0.0, 2.0])]       # cos 0,   dot 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r["neighbor_id"], r["rank"])
+           for r in mips_topk(emb.where(F.col("vec_id") == 0), emb, k=3)
+           .orderBy("rank").collect()]
+    assert got == [(2, 1), (1, 2), (3, 3)]
+
+
 def test_refresh_rollup_touches_only_batch_buckets(spark, tmp_path):
     """Incremental refresh rewrites ONLY the buckets the new batch
     touches (file set of untouched partitions is unchanged on disk),
