@@ -2718,6 +2718,23 @@ def q_sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(_events(spark, sf_dir), _sketch_key(), k=256)
 
 
+def q_sketch_cms_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped count-min with in-plan counter-sum merge (r5): per-event-
+    type 4×256 CMS sketches plus an __all__ row whose CELLS are the sum
+    of the group cells — the third mergeability mechanism of the sketch
+    family (HLL merges registers by max, the quantile histograms by bin
+    sum, CMS by counter sum) — probed for five fixed user ids. The
+    merged row's estimates equal the global sketch's (counters add;
+    pinned by the oracle replaying the identical cell arithmetic and
+    min-over-rows)."""
+    from polipus_spark.functions.sketches import cms_estimate_by
+
+    e = _events(spark, sf_dir)
+    return cms_estimate_by(e, F.col("event_type"),
+                           F.col("user_id").cast("string"),
+                           probes=["1", "2", "3", "7", "42"])
+
+
 def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters (r4): 4×256 md5-salted counters
     (ONE groupBy over ≤1024 cells, KB-sized broadcastable sketch), probed
@@ -2909,6 +2926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_negative_mining": q_sim_negative_mining,
         "sim_mips_topk": q_sim_mips_topk,
         "sketch_quantiles_by_type": q_sketch_quantiles_by_type,
+        "sketch_cms_by_type": q_sketch_cms_by_type,
         "io_partitioned_read": q_io_partitioned_read,
         "video_scene_cuts": q_video_scene_cuts,
     }
@@ -6156,6 +6174,40 @@ def oracle_sql() -> dict[str, str]:
                         * 10000) AS BIGINT) AS est_value_x4
       FROM j
       WHERE cum_lo < rank AND cum_lo + c >= rank
+    """
+    out["sketch_cms_by_type"] = """
+      WITH keys AS (
+        SELECT event_type AS grp, CAST(user_id AS VARCHAR) AS k FROM events),
+      cells AS (
+        SELECT grp, i.i AS row,
+               CAST(concat('0x', substr(md5(concat('cms',
+                      CAST(i.i AS VARCHAR), ':', k)), 1, 15)) AS BIGINT)
+                 % 256 AS bucket,
+               count(*) AS cnt
+        FROM keys, unnest(range(0, 4)) i(i)
+        GROUP BY 1, 2, 3),
+      merged AS (
+        SELECT '__all__' AS grp, row, bucket, sum(cnt) AS cnt
+        FROM cells GROUP BY 2, 3),
+      allc AS (
+        SELECT grp, row, bucket, CAST(cnt AS BIGINT) AS cnt FROM cells
+        UNION ALL
+        SELECT grp, row, bucket, CAST(cnt AS BIGINT) AS cnt FROM merged),
+      probes AS (SELECT unnest(['1', '2', '3', '7', '42']) AS probe_key),
+      pc AS (
+        SELECT probe_key, i.i AS row,
+               CAST(concat('0x', substr(md5(concat('cms',
+                      CAST(i.i AS VARCHAR), ':', probe_key)), 1, 15))
+                    AS BIGINT) % 256 AS bucket
+        FROM probes, unnest(range(0, 4)) i(i)),
+      gp AS (
+        SELECT g.grp, p.probe_key, p.row, p.bucket
+        FROM (SELECT DISTINCT grp FROM allc) g CROSS JOIN pc p)
+      SELECT gp.grp, gp.probe_key,
+             CAST(min(coalesce(a.cnt, 0)) AS BIGINT) AS cms_count
+      FROM gp LEFT JOIN allc a
+        ON a.grp = gp.grp AND a.row = gp.row AND a.bucket = gp.bucket
+      GROUP BY 1, 2
     """
     out["sketch_quantiles"] = """
       WITH stats AS (SELECT min(value) AS lo, max(value) AS hi,

@@ -406,3 +406,56 @@ def quantiles_by(
         F.col("bin").alias("bin_idx"),
         F.floor(est * F.lit(SCALE)).cast("bigint").alias("est_value_x4"),
     )
+
+
+def cms_estimate_by(
+    df: DataFrame,
+    group: Column,
+    key: Column,
+    probes: list[str],
+    all_label: str = "__all__",
+) -> DataFrame:
+    """Grouped count-min estimates PLUS a merged total — the third
+    mergeability mechanism in this module, demonstrated in-plan: HLL
+    merges registers by MAX, the quantile histograms by bin SUM, and CMS
+    by CELL-WISE COUNTER SUM — the ``all_label`` row's sketch is the sum
+    of the group sketches (counters add), never a recount of the raw
+    keys, yet its estimates equal :func:`cms_build`+:func:`cms_estimate`
+    run globally (pinned by test and oracle).
+
+    Output: one row per (grp, probe_key) — ``(grp, probe_key,
+    cms_count)``. Scale shape: ONE groupBy over (n_groups × ≤d·w) cells,
+    a ≤d·w-cell merge, then the probe set (a literal list) broadcast-
+    joined against the cell tables; the raw rows never shuffle beyond
+    the cell combine. Estimates are upper bounds with the usual CMS
+    guarantee per sketch (error ∝ that sketch's total count / w)."""
+    cells = (
+        df.select(
+            group.cast("string").alias("grp"),
+            F.explode(F.array(*_cms_coords(key))).alias("rb"),
+        )
+        .groupBy("grp", F.col("rb.row").alias("row"),
+                 F.col("rb.bucket").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = (
+        cells.groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(F.lit(all_label).alias("grp"), "row", "bucket", "cnt")
+    )
+    allc = cells.unionByName(merged)
+    pdf = df.sparkSession.createDataFrame(
+        [(p,) for p in probes], "probe_key string")
+    coords = pdf.select(
+        "probe_key",
+        F.explode(F.array(*_cms_coords(F.col("probe_key")))).alias("rb"),
+    ).select("probe_key", F.col("rb.row").alias("row"),
+             F.col("rb.bucket").alias("bucket"))
+    grps = allc.select("grp").distinct()
+    return (
+        grps.crossJoin(F.broadcast(coords))
+        .join(allc, ["grp", "row", "bucket"], "left")
+        .groupBy("grp", "probe_key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+             .cast("bigint").alias("cms_count"))
+    )

@@ -143,3 +143,31 @@ def test_quantiles_by_merge_equals_global(spark, events):
         est = r["est_value_x4"] / 10_000
         assert abs(est - exact) <= 2 * bin_w + 1e-9, (
             r["grp"], r["q_bps"], est, exact)
+
+
+def test_cms_estimate_by_merge_equals_global(spark, events):
+    """The '__all__' row — merged by cell-wise counter SUM of the group
+    sketches, never a recount — must give exactly the estimates of
+    cms_build+cms_estimate run globally on the same key, and every
+    estimate is an upper bound on the true count."""
+    from polipus_spark.functions.sketches import cms_estimate_by
+
+    probes = ["1", "2", "3", "7", "42"]
+    key = F.col("user_id").cast("string")
+    by = cms_estimate_by(events, F.col("event_type"), key, probes).collect()
+    merged = {r["probe_key"]: r["cms_count"]
+              for r in by if r["grp"] == "__all__"}
+    sketch = cms_build(events, key)
+    pdf = spark.createDataFrame([(p,) for p in probes], "uid string")
+    glob = {r["probe_key"]: r["cms_count"]
+            for r in cms_estimate(sketch, pdf, F.col("uid"))
+            .withColumnRenamed("probe_key", "probe_key").collect()}
+    assert merged == glob
+
+    truth = {str(r["user_id"]): r["n"]
+             for r in events.groupBy("user_id").agg(F.count("*").alias("n"))
+             .collect()}
+    for r in by:
+        if r["grp"] != "__all__":
+            continue
+        assert r["cms_count"] >= truth.get(r["probe_key"], 0)
