@@ -355,6 +355,10 @@ def run_queries(spark: SparkSession, stop_after: float | None = None) -> dict[st
         "sample_epoch_take", "sim_negative_mining",
         "sketch_quantiles_by_type", "io_partitioned_read",
         "video_scene_cuts", "events_rollup_refresh", "j1_bloom_probe",
+        # r5 eighth batch: MIPS reduction, the ANN recall curve, the
+        # lang-id confusion matrix, and grouped CMS
+        "sim_mips_topk", "sim_recall_curve", "text_langid_confusion",
+        "sketch_cms_by_type",
         # (crawl_url_templates / a5_host_hits / f6_recrawl_due are
         # deliberately NOT in the sweep: their cost is the shared entry
         # crawl session, not the query; streaming_funnel/windowed/resume
