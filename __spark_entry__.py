@@ -513,8 +513,18 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism (the reproducibility contract of data mixing)."""
     from polipus_spark.functions.sampling import stratified_sample
     from polipus_spark.functions.text import lang_id
+    from polipus_spark.partitioning import spread
 
-    d = _docs(spark, sf_dir).withColumn("lang", lang_id(F.col("text")))
+    # lang_id is the expensive per-row work here; score once at full
+    # parallelism and materialize (doc_id, lang) — without the barrier the
+    # rate filter is pushed below the spread exchange onto the one-split
+    # scan AND re-inlines the scoring chain (guide §2.5 + §7.2; the
+    # membership filter itself is a trivial md5-of-id test)
+    d = (
+        spread(_docs(spark, sf_dir))
+        .select("doc_id", lang_id(F.col("text")).alias("lang"))
+        .localCheckpoint(eager=True)
+    )
     out = stratified_sample(
         d, F.col("lang"),
         {"en": 2500, "de": 7500, "fr": 5000, "es": 5000},
@@ -663,8 +673,9 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mixing report a data pipeline publishes per snapshot. One narrow
     groupBy with map-side partial agg."""
     from polipus_spark.functions.text import lang_id, quality_class, token_count
+    from polipus_spark.partitioning import spread
 
-    d = _docs(spark, sf_dir)
+    d = spread(_docs(spark, sf_dir))
     return (
         d.select(
             lang_id(F.col("text")).alias("lang"),

@@ -154,6 +154,48 @@ def minhash_signature_rows(
     )
 
 
+def shingle60_rows(text: Column, shingle_k: int = 3) -> Column:
+    """Arrow-kernel realization of
+    ``transform(word_shingles(text, k), g -> h60_str(g))`` → array<long>
+    of the doc's DISTINCT 60-bit shingle hashes (set order is
+    unspecified; every consumer aggregates, so only the SET matters —
+    pinned by test against the Column spec, which stays what the SQL
+    oracles mirror).
+
+    Same kernel-vs-spec pattern (and the exact tokenization:
+    ``re.ASCII`` split, ``str.lower``) as :func:`minhash_signature_rows`;
+    the interpreted higher-order Column chain costs ~0.8 ms/doc while the
+    memoized-md5 Python pass is ~20× cheaper — on the Jaccard path this
+    kernel is the difference between the shingle pass and the join being
+    the bottleneck."""
+    import hashlib
+    import re
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _gs(texts: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        out = []
+        for t in texts:
+            ws = [w for w in re.split(r"\s+", (t or "").lower(),
+                                      flags=re.ASCII) if w]
+            if len(ws) >= shingle_k:
+                grams = {" ".join(ws[i:i + shingle_k])
+                         for i in range(len(ws) - shingle_k + 1)}
+            else:
+                grams = {" ".join(ws)}
+            hs = []
+            for g in grams:
+                h = cache.get(g)
+                if h is None:
+                    h = int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                    cache[g] = h
+                hs.append(h)
+            out.append(hs)
+        return pd.Series(out)
+
+    return _gs(text)
+
+
 def minhash_bands(sig: Column, n_bands: int = 4, rows_per_band: int = 4) -> list[Column]:
     """Band signature strings: band_i = concat of its rows' minhashes."""
     out = []
@@ -226,6 +268,9 @@ def lsh_candidate_pairs(
         corpus bytes — but never widens a row; the safe path if single
         documents can reach GBs.
     """
+    from polipus_spark.partitioning import spread
+
+    docs = spread(docs)  # md5-per-shingle work must not serialize on one split
     n_perm = n_bands * rows_per_band
     if sig_form == "kernel":
         # Arrow kernel (bit-equality-pinned to the Column spec): one
@@ -260,16 +305,30 @@ def lsh_candidate_pairs(
         F.col("id"),
         F.posexplode(F.array(*bands)).alias("band", "bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # In-bucket pair enumeration via ONE groupBy instead of a banded
+    # self-join: the self-join's two plan references each re-ran the whole
+    # signature computation (r6: two ArrowEvalPython scans of the corpus in
+    # the physical plan — guide §7.2 "duplicated subtrees"), and the join
+    # shuffled the banded rows twice. Grouping (band, bucket) →
+    # sorted id list → ordered in-bucket combinations produces the
+    # identical (id_a < id_b, ≥1 shared bucket) pair set with ONE signature
+    # pass and ONE exchange. Pair work is Σ|bucket|² either way; the
+    # two-step explode streams the combinations so no task materializes a
+    # bucket's full pair array.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+        buckets.select(F.posexplode("ids").alias("i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("i") + 2,
+                        F.greatest(F.size("ids") - F.col("i") - 1, F.lit(0)))
+            ).alias("id_b"),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
     return pairs
@@ -370,11 +429,39 @@ def ngram_jaccard(
     exchange on the hottest stage); collision error is ≤ grams²/2^60 per
     doc pair (immaterial), and the oracle hashes identically so parity is
     exact, not approximate.
+
+    Dataflow (r6): ``pairs`` is materialized once (localCheckpoint — its
+    upstream is typically the whole LSH pass, and it feeds THREE plan
+    references below), the corpus is semi-joined down to the ids that
+    appear in any pair BEFORE the shingle explode (only pair participants
+    ever need exact Jaccard — at production near-dup rates that is a few
+    % of the corpus), and the exploded hashed-shingle frame is
+    materialized once and reused by the intersection join AND both size
+    lookups. Before this shape the physical plan re-ran the full
+    explode+md5 pass four times (a, b, n_a, n_b — guide §7.2 duplicated
+    subtrees).
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("gram"),
-    ).select("id", h60_str(F.col("gram")).alias("g"))
+    from polipus_spark.partitioning import spread
+
+    pairs = pairs.select("id_a", "id_b").localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("id_a").alias("_pid"))
+        .union(pairs.select(F.col("id_b")))
+        .distinct()
+    )
+    # spread the SCAN side before the semi-join (spread on a bare scan is
+    # free to probe; probing a mid-plan AQE frame would execute its query
+    # stages eagerly just to read the partition count)
+    participants = spread(docs).join(
+        ids, F.col(id_col) == F.col("_pid"), "left_semi"
+    )
+    sh = (
+        participants
+        .select(F.col(id_col).alias("id"),
+                shingle60_rows(F.col(text_col), shingle_k).alias("_gs"))
+        .select("id", F.explode("_gs").alias("g"))
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("id").alias("id_a"), F.col("g"))
     b = sh.select(F.col("id").alias("id_b"), F.col("g"))
@@ -556,7 +643,13 @@ def fuzzy_dedup(
     Every stage is the already-scale-audited operator; the composition adds
     no new shuffle shape. Returns the surviving rows of ``docs``.
     """
-    d1 = dedup_exact(docs, id_col, text_col)
+    # d1 feeds FOUR downstream consumers (LSH, the Jaccard shingle pass,
+    # the component left-join, the final semi-join); without a
+    # materialization barrier each re-runs the md5 window (r6: four
+    # Exchange+Window subtrees over the corpus in one plan). The exact
+    # survivors are a corpus-shaped frame, so this is one linear pass
+    # cached, not a quadratic intermediate.
+    d1 = dedup_exact(docs, id_col, text_col).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(d1, id_col, text_col, n_bands, rows_per_band,
                                 shingle_k)
     j = ngram_jaccard(d1, pairs, id_col, text_col, shingle_k)
@@ -609,28 +702,42 @@ def simhash60_agg(
     query (measured 43 s on a 2-row input). Docs with no word tokens get
     no row (mirrored by the SQL oracle). Output: (id, sh).
     """
+    if arrow:
+        from polipus_spark.partitioning import spread
+
+        # Per-ROW kernel (r6): a doc's SimHash depends only on its own
+        # words, so there is nothing to shuffle — the r5 formulation
+        # shipped one row per word to a groupBy(id).applyInPandas whose
+        # per-GROUP Python invocation (pandas frame construction per doc)
+        # dominated the runtime. Here the 60-bit word hashes are computed
+        # JVM-side (same md5 Column spec the oracle mirrors), cross to
+        # Python as one Arrow list column, and the majority-bit fold is a
+        # small numpy op per row inside a batched scalar pandas_udf. Zero
+        # exchanges; docs with no word tokens are dropped up front (the
+        # explode form produced no row for them).
+        bits = np.arange(n_bits, dtype=np.uint64)
+
+        @F.pandas_udf(T.LongType())
+        def _sh(hv: pd.Series) -> pd.Series:
+            out = []
+            for hs in hv:
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                ones = ((h[:, None] >> bits) & 1).sum(axis=0)
+                mask = (2 * ones > len(h)).astype(np.uint64)
+                out.append(int((mask << bits).sum()))
+            return pd.Series(out, dtype="int64")
+
+        hashed = F.transform(words(F.col(text_col)), lambda w: h60_str(w))
+        return (
+            spread(docs)
+            .select(F.col(id_col).alias("id"), hashed.alias("_hs"))
+            .where(F.size("_hs") > 0)
+            .select("id", _sh(F.col("_hs")).alias("sh"))
+        )
     wh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(words(F.col(text_col))).alias("w"),
     ).select("id", h60_str(F.col("w")).alias("h"))
-    if arrow:
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        schema = StructType([
-            StructField("id", LongType()), StructField("sh", LongType()),
-        ])
-
-        def _kernel(pdf):
-            import numpy as np
-            import pandas as pd
-
-            h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)
-            ones = ((h[:, None] >> np.arange(n_bits, dtype=np.uint64)) & 1).sum(axis=0)
-            mask = (2 * ones > len(h)).astype(np.uint64)
-            sh = int((mask << np.arange(n_bits, dtype=np.uint64)).sum())
-            return pd.DataFrame({"id": [pdf["id"].iloc[0]], "sh": [sh]})
-
-        return wh.groupBy("id").applyInPandas(_kernel, schema)
     signs = wh.select(
         "id",
         F.posexplode(

@@ -57,8 +57,10 @@ def brute_force_topk(
     Broadcast the query side (it is the small one); the corpus streams.
     Self-matches (same id) are excluded.
     """
+    from polipus_spark.partitioning import spread
+
     q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
+    c = spread(corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -195,6 +197,11 @@ def _assign_to(corpus_v: DataFrame, cents: DataFrame) -> DataFrame:
 
     One broadcast nested-loop over K centroid rows per vector — never a
     corpus shuffle; the window dedup keys on vec_id only (narrow)."""
+    from polipus_spark.partitioning import spread
+
+    # K cosines × dim interpreted ops per vector: CPU-dense per row, so a
+    # one-row-group embeddings file must not serialize it on one core
+    corpus_v = spread(corpus_v)
     scored = corpus_v.crossJoin(F.broadcast(cents)).withColumn(
         "_sim", cosine(F.col("_v"), F.col("_cent"))
     )
@@ -236,8 +243,10 @@ def kmeans_centroids(
     # _inv is one column per row; CollapseProject may inline it into each
     # array element, but the cache below materializes the collapsed plan
     # exactly once per row, so the recompute is a one-time cache-build cost.
+    from polipus_spark.partitioning import spread
+
     unit = (
-        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_raw"))
+        spread(corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_raw")))
         .withColumn("_inv", F.lit(1.0) / norm(F.col("_raw")))
         .select(
             "vec_id",
@@ -772,10 +781,27 @@ def _int8_cols(vec_col: str) -> tuple[Column, Column]:
     quantized IVF index build."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     max_abs = F.array_max(F.transform(v, F.abs))
-    q = F.when(
-        max_abs > 0,
-        F.transform(v, lambda x: F.floor(x * 127.0 / max_abs + 0.5).cast("int")),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+    # Bind v and max|v| as higher-order lambda VARIABLES before the
+    # per-element division: referencing the max_abs *expression* inside the
+    # transform lambda made CollapseProject inline a full array_max pass
+    # into every element (O(dim²) interpreted ops per row — the same
+    # Catalyst common-subexpression trap as minhash_signature's; r6).
+    def _q(vb: Column) -> Column:
+        return F.element_at(
+            F.transform(
+                F.array(F.array_max(F.transform(vb, F.abs))),
+                lambda mb: F.when(
+                    mb > 0,
+                    F.transform(
+                        vb, lambda x: F.floor(x * 127.0 / mb + 0.5).cast("int")
+                    ),
+                ).otherwise(F.transform(vb, lambda x: F.lit(0))),
+            ),
+            1,
+        )
+
+    q = F.element_at(F.transform(F.array(v), _q), 1)
     return q, max_abs
 
 
@@ -794,8 +820,10 @@ def quantize_int8(
     round() half-case conventions differ. Zero vectors quantize to zeros.
     Output: (vec_id, q array<int>, scale double).
     """
+    from polipus_spark.partitioning import spread
+
     q, max_abs = _int8_cols(vec_col)
-    return corpus.select(
+    return spread(corpus).select(
         F.col(id_col).alias("vec_id"),
         q.alias("q"),
         max_abs.alias("scale"),

@@ -60,16 +60,38 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
 
 def lang_id(text: Column) -> Column:
     """Argmax language by marker hits; ties broken by language code order;
-    'und' (undetermined) when no marker hits at all."""
-    scores = lang_scores(text)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    # iterate in reverse-sorted key order so earlier keys win ties via >
-    for lang, s in sorted(scores, key=lambda kv: kv[0], reverse=True):
-        take = s > best_score
-        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(take, s).otherwise(best_score)
-    return best_lang
+    'und' (undetermined) when no marker hits at all.
+
+    Implementation (r6): the hit-count array is built ONCE and bound as a
+    higher-order-function lambda variable that the argmax references —
+    the previous fold of nested ``when`` chains re-inlined every earlier
+    score expression into each later comparison (CollapseProject), so the
+    physical expression grew exponentially in the number of languages
+    (plans carried ~30 copies of the tokenizer per row — the same
+    Catalyst common-subexpression trap as minhash_signature's). Values
+    are identical: ``array_position(hits, array_max(hits))`` is the FIRST
+    maximal index, i.e. the sorted-code-order tie-break of the old chain.
+    """
+    langs = sorted(LANG_MARKERS)
+    ws = words(text)
+
+    def hits_of(w_arr: Column) -> Column:
+        return F.array(*[
+            F.size(F.filter(w_arr, lambda w: w.isin(LANG_MARKERS[lang])))
+            for lang in langs
+        ])
+
+    hits = F.element_at(F.transform(F.array(ws), hits_of), 1)
+
+    def pick(h: Column) -> Column:
+        mx = F.array_max(h)
+        return F.when(
+            mx > 0,
+            F.element_at(F.array(*[F.lit(lg) for lg in langs]),
+                         F.array_position(h, mx).cast("int")),
+        ).otherwise(F.lit("und"))
+
+    return F.element_at(F.transform(F.array(hits), pick), 1)
 
 
 def quality_features(text: Column) -> dict[str, Column]:
@@ -224,7 +246,10 @@ def chunk_docs(
     id_col: str = "doc_id", text_col: str = "text",
 ):
     """Explode docs into (doc_id, chunk_id, chunk_text, n_words) rows."""
+    from polipus_spark.partitioning import spread
+
     c = F.explode(chunk_words(F.col(text_col), chunk, overlap)).alias("_c")
+    docs = spread(docs)  # chunking is per-row CPU work; widen narrow scans
     return docs.select(F.col(id_col).alias("doc_id"), c).select(
         "doc_id",
         F.col("_c.chunk_id").alias("chunk_id"),

@@ -2109,6 +2109,29 @@ def test_minhash_kernel_matches_column_spec(spark):
     assert spec == kern
 
 
+def test_shingle60_kernel_matches_column_spec(spark):
+    """shingle60_rows (Arrow kernel, the ngram_jaccard shingle pass) yields
+    the same per-doc SET of 60-bit shingle hashes as the
+    word_shingles+h60_str Column spec — short docs (whole-text fallback),
+    empty text, repeated shingles (distinctness)."""
+    from polipus_spark.functions.dedup import shingle60_rows, word_shingles
+    from polipus_spark.functions.text import h60_str
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "two words"), (3, ""), (4, "a b c a b c a b c"),
+         (5, " ".join(f"tok{i % 11}" for i in range(200)))],
+        "doc_id long, text string")
+    spec = {r["doc_id"]: sorted(r["s"]) for r in docs.select(
+        "doc_id",
+        F.transform(word_shingles(F.col("text"), 3),
+                    lambda g: h60_str(g)).alias("s"),
+    ).collect()}
+    kern = {r["doc_id"]: sorted(r["s"]) for r in docs.select(
+        "doc_id", shingle60_rows(F.col("text"), 3).alias("s")).collect()}
+    assert spec == kern
+
+
 def test_interchange_roundtrips_lossless(spark, tmp_path):
     """JSONL and CSV export+read must be lossless on escaping landmines:
     embedded quotes, commas, newlines (both \n and \r\n), backslashes,
