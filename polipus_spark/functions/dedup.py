@@ -40,6 +40,19 @@ from polipus_spark.functions.text import h60_str, word_ngrams, words
 MERSENNE31 = (1 << 31) - 1
 
 
+def _popcount64(x):
+    """Vectorized SWAR popcount over a numpy uint64 array (numpy 1.x has
+    no ``bitwise_count``); used by the per-bucket Hamming kernels."""
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return ((x * h) >> np.uint64(56)).astype(np.int64)
+
+
 def h28_str(col: Column) -> Column:
     """28-bit md5 hash (first 7 hex chars) — the MinHash base hash."""
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
@@ -352,8 +365,29 @@ def build_minhash_store(
     typical doc sizes) and scalar-columnar, so probes scan it map-side with
     column pruning. ``mode="append"`` admits a batch's survivors after a
     round of :func:`incremental_dedup_pairs`."""
-    minhash_signature_agg(docs, id_col, text_col, n_perm, shingle_k) \
+    minhash_signature_cols(docs, id_col, text_col, n_perm, shingle_k) \
         .write.mode(mode).parquet(store_dir)
+
+
+def minhash_signature_cols(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, m0..m{n_perm-1}) signatures in the store layout, computed by
+    the Arrow kernel (:func:`minhash_signature_rows` — bit-equal to the
+    Column spec and to :func:`minhash_signature_agg`, which shuffles one
+    row per (doc, shingle) where this is a spread map-only pass)."""
+    from polipus_spark.partitioning import spread
+
+    return minhash_signature_rows(
+        spread(docs), n_perm, shingle_k, id_col, text_col
+    ).select(
+        "id", *[F.element_at(F.col("_sig"), i + 1).alias(f"m{i}")
+                for i in range(n_perm)]
+    )
 
 
 def incremental_dedup_pairs(
@@ -367,6 +401,7 @@ def incremental_dedup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     store_df: DataFrame | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """New-batch-vs-store near-dup pairs → (new_id, old_id, n_match).
 
@@ -375,13 +410,18 @@ def incremental_dedup_pairs(
     of agreeing minhash positions out of n_bands·rows_per_band, an unbiased
     Jaccard estimate scaled by n_perm — gates the pair (``min_matches``).
 
-    Scale shape: the NEW side (one ingest wave) is broadcast; the persisted
-    store STREAMS map-side — a 10^9-document store is scanned (columns
-    pruned to id + the 16 signature ints) but NEVER shuffled. The only
-    exchanges in the plan are over the batch's signature agg and the
-    collision pairs' distinct — both ∝ batch size, not store size. For
-    batch-vs-batch dedup of comparable sides use
-    :func:`lsh_candidate_pairs` instead."""
+    Scale shape: the NEW side (one ingest wave) is broadcast ONLY when its
+    row count is at most ``broadcast_max_rows`` (counted up front — the
+    same size gate as ``fetch_wave``; r5 review flagged the ungated hint:
+    a 10^8-doc ingest wave would OOM the driver). Under the gate the
+    persisted store STREAMS map-side — a 10^9-document store is scanned
+    (columns pruned to id + the 16 signature ints) but NEVER shuffled,
+    and the only exchanges in the plan are over the batch's signatures
+    and the collision pairs' distinct — both ∝ batch size, not store
+    size. Over the gate it falls back to a plain (band, bucket)
+    equi-join: both sides shuffle on the narrow banded key and AQE picks
+    the strategy — never a driver-sized broadcast. For batch-vs-batch
+    dedup of comparable sides use :func:`lsh_candidate_pairs` instead."""
     n_perm = n_bands * rows_per_band
 
     def _banded(sigs: DataFrame, id_out: str, m_out: str) -> DataFrame:
@@ -399,14 +439,18 @@ def incremental_dedup_pairs(
         )
 
     store = store_df if store_df is not None else spark.read.parquet(store_dir)
-    new_sigs = minhash_signature_agg(new_docs, id_col, text_col, n_perm, shingle_k)
+    new_sigs = minhash_signature_cols(new_docs, id_col, text_col, n_perm,
+                                      shingle_k)
     old_b = _banded(store, "old_id", "m")
     new_b = _banded(new_sigs, "new_id", "nm")
+    if new_docs.select(id_col).limit(broadcast_max_rows + 1).count() \
+            <= broadcast_max_rows:
+        new_b = F.broadcast(new_b)
     n_match = F.lit(0)
     for i in range(n_perm):
         n_match = n_match + (F.col(f"m{i}") == F.col(f"nm{i}")).cast("int")
     return (
-        old_b.join(F.broadcast(new_b), ["band", "bucket"])
+        old_b.join(new_b, ["band", "bucket"])
         .where(F.col("old_id") != F.col("new_id"))
         .select("new_id", "old_id", n_match.cast("int").alias("n_match"))
         .distinct()
@@ -825,26 +869,104 @@ def hamming_near_pairs(sigs: DataFrame, n_bits: int, k: int = 3,
         "id", "sh",
         F.col("_bb.band").alias("band"), F.col("_bb.bits").alias("bits"),
     )
-    l, r = banded.alias("l"), banded.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bits") == F.col("r.bits"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
-            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            F.col("l.sh").alias("sh_a"), F.col("r.sh").alias("sh_b"),
-        )
-        .distinct()
+    # Per-BUCKET Arrow kernel for enumeration + verify (r6): the old
+    # banded self-join re-ran the whole signature subtree per side and
+    # shuffled every RAW candidate through a pre-verify distinct —
+    # near-dup clusters make Σ|bucket|² large (tens of millions of pairs
+    # per bucket on narrow fingerprints like the 12-bit dHash), so both
+    # the shuffle and a per-pair interpreted popcount are the wrong tier.
+    # Here each bucket's (id, sh) members arrive once via one groupBy,
+    # the XOR popcount runs as block-wise vectorized numpy inside the
+    # bucket, and only verified survivors leave the kernel; the closing
+    # distinct dedupes the ≤ n_bands band copies. ``hamming`` is a pure
+    # function of the pair, so post-filter dedup keeps the identical set.
+    out_schema = T.StructType([
+        T.StructField("id_a", banded.schema["id"].dataType),
+        T.StructField("id_b", banded.schema["id"].dataType),
+        T.StructField("hamming", T.IntegerType()),
+    ])
+    kk = k
+    # bucket member lists come out of ONE JVM aggregate and the kernel is
+    # mapInPandas over BUCKET ROWS — per-batch Python overhead, not
+    # per-group (an applyInPandas per bucket costs ~0.2 ms each; narrow
+    # fingerprints can have 10⁵+ buckets of size 2)
+    grouped = (
+        banded.select("id", "sh", "band", "bits")
+        .groupBy("band", "bits")
+        .agg(F.collect_list(F.struct("id", "sh")).alias("_ms"))
+        .where(F.size("_ms") > 1)
+        .select("band", "_ms")
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .where(F.col("hamming") <= k)
-        .select("id_a", "id_b", "hamming")
-    )
+
+    def _buckets_hamming(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ia, ib, hm = [], [], []
+            for band, ms in zip(pdf["band"], pdf["_ms"]):
+                B = len(ms)
+                ids = np.fromiter((m["id"] for m in ms), dtype=np.int64,
+                                  count=B)
+                sh_raw = np.fromiter((m["sh"] for m in ms), dtype=np.int64,
+                                     count=B).astype(np.uint64)
+                # GROUP COLLAPSE (r6): members with the same fingerprint
+                # share every pairwise verdict, and near-dup corpora pile
+                # thousands of identical fingerprints into one bucket —
+                # pair WORK is S² over distinct values instead of B² over
+                # members; only the (output-bound) id emission is B-sized.
+                sh, ginv, gcnt = np.unique(sh_raw, return_inverse=True,
+                                           return_counts=True)
+                S = len(sh)
+                gorder = np.argsort(ginv, kind="stable")
+                gids = np.split(ids[gorder], np.cumsum(gcnt)[:-1])
+                blk = max(1, (1 << 25) // S)
+                for lo in range(0, S, blk):
+                    hi = min(lo + blk, S)
+                    X = sh[lo:hi, None] ^ sh[None, :]
+                    H = _popcount64(X)
+                    mask = H <= kk
+                    # sh values are unique-sorted: group pair (g1 < g2)
+                    # once, plus the g1 == g2 diagonal (intra-group pairs)
+                    mask &= np.arange(S)[None, :] >= \
+                        np.arange(lo, hi)[:, None]
+                    ii, jj = np.nonzero(mask)
+                    if not len(ii):
+                        continue
+                    # CANONICAL-BAND emission (replaces a global distinct
+                    # over every duplicate): a pair leaves only the FIRST
+                    # band whose bits match — earlier-band membership is a
+                    # pure function of the XOR, so no cross-band exchange
+                    # is needed to dedupe
+                    xv = X[ii, jj]
+                    keep = np.ones(len(ii), dtype=bool)
+                    for b2 in range(int(band)):
+                        keep &= ((xv >> np.uint64(shifts[b2]))
+                                 & np.uint64((1 << widths[b2]) - 1)) != 0
+                    hv = H[ii, jj]
+                    for g1, g2, h in zip(ii[keep] + lo, jj[keep], hv[keep]):
+                        va = gids[g1]
+                        if g1 == g2:
+                            if len(va) < 2:
+                                continue
+                            A, Bb = np.meshgrid(va, va, indexing="ij")
+                            sel = Bb > A
+                        else:
+                            A, Bb = np.meshgrid(va, gids[g2], indexing="ij")
+                            sel = np.ones(A.shape, dtype=bool)
+                        lo_id = np.minimum(A[sel], Bb[sel])
+                        hi_id = np.maximum(A[sel], Bb[sel])
+                        ia.append(lo_id)
+                        ib.append(hi_id)
+                        hm.append(np.full(len(lo_id), h, dtype=np.int64))
+            if ia:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(ia),
+                    "id_b": np.concatenate(ib),
+                    "hamming": np.concatenate(hm).astype(np.int32),
+                })
+
+    return grouped.mapInPandas(_buckets_hamming, out_schema)
 
 
 def _dedup_units(
@@ -963,13 +1085,20 @@ def hash_embed_near_pairs(
     Output: (id_a, id_b, hamming, cos2_bps), id_a < id_b.
     """
     from polipus_spark.functions.text import hash_embed_rows
+    from polipus_spark.partitioning import spread
+
+    n_bands = k + 1
+    if dim < n_bands:
+        raise ValueError(
+            f"hash_embed_near_pairs: k={k} needs {n_bands} non-empty bands "
+            f"but the fingerprint has only {dim} bits")
 
     # Arrow kernel for the embedding (hash_embed is the Column SPEC it is
     # bit-equality-pinned to): the interpreted dim-fold expression cost
     # ~3 ms/doc and — referenced by sig, n2, AND the verify dots — would
     # re-inline via CollapseProject. The kernel emits emb as a plan-node
     # ATTRIBUTE, so every downstream reference is free.
-    e = hash_embed_rows(docs, dim, id_col=id_col, text_col=text_col)
+    e = hash_embed_rows(spread(docs), dim, id_col=id_col, text_col=text_col)
     # bit j of the fingerprint = sign of component j: fold the REVERSED
     # array so acc*2 accumulates component 0 into the LSB (dim <= 62 keeps
     # the fold inside signed int64 under ANSI mode)
@@ -984,39 +1113,152 @@ def hash_embed_near_pairs(
     s = e.select("id", "emb", sig.alias("sh"), n2.alias("n2")).where(
         F.col("n2") > 0
     )
-    cand = hamming_near_pairs(s.select("id", "sh"), n_bits=dim, k=k)
-    a = s.select(F.col("id").alias("id_a"), F.col("emb").alias("_ea"),
-                 F.col("n2").alias("_na2"))
-    b = s.select(F.col("id").alias("id_b"), F.col("emb").alias("_eb"),
-                 F.col("n2").alias("_nb2"))
 
-    # Arrow kernel for the per-pair dot: a clustered corpus can produce
-    # MILLIONS of hamming-<=k candidates (the synthetic sf0.1 table: 4.6M),
-    # and the interpreted zip_with/aggregate fold paid ~35 s where this
-    # numpy row-wise product is sub-second — the same kernel-vs-Column
-    # lesson as similarity.lsh_band_rows (r4). int64 in, int64 out: exact.
-    @F.pandas_udf(T.LongType())
-    def _dot64(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        if not len(ea):
-            return pd.Series([], dtype="int64")
-        A = np.stack(ea.to_numpy()).astype(np.int64)
-        B = np.stack(eb.to_numpy()).astype(np.int64)
-        return pd.Series((A * B).sum(axis=1))
+    # Per-BUCKET Arrow kernel for candidate enumeration + verify (r6): a
+    # single-topic corpus piles tens of thousands of docs into a few
+    # pigeonhole buckets, so hamming candidates are Σ|bucket|² — 97M pairs
+    # at sf1.0. The old shape paid three corpus-wide shuffles of that pair
+    # stream (pre-verify distinct + two id joins attaching embeddings —
+    # the id joins also carried the UNGATED corpus-sized F.broadcast
+    # hints flagged by the r5 review: ~500 GB a side at 10⁹ docs). Here
+    # each bucket's members arrive ONCE (one groupBy of the corpus-sized
+    # signature frame), the XOR popcount and the int64 dot run as
+    # block-wise numpy matmuls inside the bucket, and only verified
+    # survivors leave the kernel; the closing distinct dedupes the ≤
+    # n_bands band copies. All arithmetic is int64 — exact, same domain
+    # bound as the Column form (docs to ~50k words at the 10⁴ scale).
+    widths = [dim // n_bands] * n_bands
+    for i in range(dim % n_bands):
+        widths[i] += 1
+    shifts = [sum(widths[:i]) for i in range(n_bands)]
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sh"), shifts[b])
+            .bitwiseAND(F.lit((1 << widths[b]) - 1))
+            .alias("bits"),
+        )
+        for b in range(n_bands)
+    ])
+    banded = s.select(
+        "id", "sh", "n2", "emb", F.explode(bands).alias("_bb")
+    ).select("id", "sh", "n2", "emb",
+             F.col("_bb.band").alias("band"), F.col("_bb.bits").alias("bits"))
 
-    return (
-        cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
-        .withColumn("_dot", _dot64(F.col("_ea"), F.col("_eb")))
-        .where(
-            (F.col("_dot") > 0)
-            & (F.col("_dot") * F.col("_dot") * 10000
-               >= F.lit(cos2_bps_min) * F.col("_na2") * F.col("_nb2"))
-        )
-        .select(
-            "id_a", "id_b", "hamming",
-            F.expr("div(_dot * _dot * 10000, _na2 * _nb2)")
-            .cast("bigint").alias("cos2_bps"),
-        )
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+        T.StructField("cos2_bps", T.LongType()),
+    ])
+    kk, thr = k, cos2_bps_min
+    grouped = (
+        banded.groupBy("band", "bits")
+        .agg(F.collect_list(F.struct("id", "sh", "n2", "emb")).alias("_ms"))
+        .where(F.size("_ms") > 1)
+        .select("band", "_ms")
     )
+
+    def _buckets_verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ia_out, ib_out, hm_out, c2_out = [], [], [], []
+            for band, ms in zip(pdf["band"], pdf["_ms"]):
+                B = len(ms)
+                ids = np.fromiter((m["id"] for m in ms), dtype=np.int64,
+                                  count=B)
+                sh_raw = np.fromiter((m["sh"] for m in ms), dtype=np.int64,
+                                     count=B).astype(np.uint64)
+                n2_raw = np.fromiter((m["n2"] for m in ms), dtype=np.int64,
+                                     count=B)
+                # SH-GROUP COLLAPSE (r6): a near-dup bucket holds
+                # thousands of members but few DISTINCT fingerprints (sf1:
+                # 6.6k sh over 50k docs), so the Hamming stage runs S²
+                # over distinct sh; the integer dot then runs as ONE
+                # FLOAT64 BLAS matmul per passing sh-group pair (every
+                # product/partial sum is an integer < 2^53 ⇒ exact
+                # regardless of order; int64 matmul has no BLAS path).
+                sh, ginv, gcnt = np.unique(sh_raw, return_inverse=True,
+                                           return_counts=True)
+                S = len(sh)
+                gorder = np.argsort(ginv, kind="stable")
+                bounds = np.concatenate(([0], np.cumsum(gcnt)))
+                gids = [ids[gorder[bounds[g]:bounds[g + 1]]]
+                        for g in range(S)]
+                gE = [None] * S
+                gn2 = [n2_raw[gorder[bounds[g]:bounds[g + 1]]]
+                       for g in range(S)]
+
+                def emb_of(g):
+                    if gE[g] is None:
+                        idx = gorder[bounds[g]:bounds[g + 1]]
+                        gE[g] = np.stack(
+                            [np.asarray(ms[i]["emb"], dtype=np.float64)
+                             for i in idx])
+                    return gE[g]
+
+                X = sh[:, None] ^ sh[None, :]
+                H = _popcount64(X)
+                mask = H <= kk
+                # group pair (g1 <= g2) once; diagonal = intra-group pairs
+                mask &= np.arange(S)[None, :] >= np.arange(S)[:, None]
+                gi, gj = np.nonzero(mask)
+                if not len(gi):
+                    continue
+                # canonical-band emission (a pure function of the sh
+                # XOR, constant per group pair) — replaces a global
+                # distinct over the emitted pair stream
+                xv = X[gi, gj]
+                nodup = np.ones(len(gi), dtype=bool)
+                for b2 in range(int(band)):
+                    nodup &= ((xv >> np.uint64(shifts[b2]))
+                              & np.uint64((1 << widths[b2]) - 1)) != 0
+                gi, gj = gi[nodup], gj[nodup]
+                hv = H[gi, gj][:]
+                for g1, g2, h in zip(gi, gj, hv):
+                    Ea = emb_of(g1)
+                    n2a, ids_a = gn2[g1], gids[g1]
+                    if g1 == g2:
+                        if len(ids_a) < 2:
+                            continue
+                        D = np.rint(Ea @ Ea.T).astype(np.int64)
+                        nn = n2a[:, None] * n2a[None, :]
+                        keep = (D > 0) & (D * D * 10000 >= thr * nn)
+                        keep &= np.arange(len(ids_a))[None, :] > \
+                            np.arange(len(ids_a))[:, None]
+                        ii, jj = np.nonzero(keep)
+                        if not len(ii):
+                            continue
+                        lo_id = np.minimum(ids_a[ii], ids_a[jj])
+                        hi_id = np.maximum(ids_a[ii], ids_a[jj])
+                    else:
+                        Eb = emb_of(g2)
+                        n2b, ids_b = gn2[g2], gids[g2]
+                        D = np.rint(Ea @ Eb.T).astype(np.int64)
+                        nn = n2a[:, None] * n2b[None, :]
+                        keep = (D > 0) & (D * D * 10000 >= thr * nn)
+                        ii, jj = np.nonzero(keep)
+                        if not len(ii):
+                            continue
+                        lo_id = np.minimum(ids_a[ii], ids_b[jj])
+                        hi_id = np.maximum(ids_a[ii], ids_b[jj])
+                    d = D[ii, jj]
+                    c2 = d * d * 10000 // nn[ii, jj]
+                    ia_out.append(lo_id)
+                    ib_out.append(hi_id)
+                    hm_out.append(np.full(len(lo_id), h, dtype=np.int64))
+                    c2_out.append(c2)
+            if ia_out:
+                yield pd.DataFrame({
+                    "id_a": np.concatenate(ia_out),
+                    "id_b": np.concatenate(ib_out),
+                    "hamming": np.concatenate(hm_out).astype(np.int32),
+                    "cos2_bps": np.concatenate(c2_out),
+                })
+
+    return grouped.mapInPandas(_buckets_verify, out_schema)
 
 
 def duplicated_window_stats(
@@ -1028,6 +1270,9 @@ def duplicated_window_stats(
     """Exact substring-duplication statistics, the distributed form of
     Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
     Better") EXACTSUBSTR: every sliding n-word window of every document is
+
+    (input spread to cluster parallelism first — the window explode + md5
+    is CPU-dense per row and the docs scan is often one split)
     hashed; a window is *duplicated* when its gram occurs in >= 2 distinct
     documents. Returns ``(doc_id, n_windows, n_dup_windows)`` — the
     duplicated-window fraction is the caller's exact integer ratio, and a
@@ -1041,14 +1286,19 @@ def duplicated_window_stats(
     combine) before it moves. Windows shorter than ``n`` words fall back to
     the whole document (one window), so short exact dups still count.
     """
-    wins = docs.select(
+    from polipus_spark.partitioning import spread
+
+    # spread the scan, materialize once: wins feeds THREE consumers
+    # (doc-frequency, per-doc totals, the dup join) — each plan reference
+    # otherwise re-runs the window explode + md5 (guide §7.2)
+    wins = spread(docs).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.transform(
                 word_ngrams(F.col(text_col), n), lambda g: h60_str(g)
             )
         ).alias("h"),
-    )
+    ).localCheckpoint(eager=True)
     dup_h = (
         wins.select("id", "h").distinct()
         .groupBy("h").agg(F.count("*").alias("_df"))
@@ -1094,13 +1344,18 @@ def remove_duplicated_windows(
     Documents shorter than ``n`` words fall back to one whole-doc window
     (matching the stats function): an exact short dup scrubs to empty.
     """
+    from polipus_spark.partitioning import spread
+
     ws = words(F.col(text_col))
+    docs = spread(docs)
+    # base feeds the doc-frequency pass AND the dup join-back — checkpoint
+    # so the window explode + md5 runs once (guide §7.2)
     base = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.transform(word_ngrams(F.col(text_col), n), h60_str)
         ).alias("pos", "h"),
-    )
+    ).localCheckpoint(eager=True)
     dup_h = (
         base.select("id", "h").distinct()
         .groupBy("h").agg(F.count("*").alias("_df"))

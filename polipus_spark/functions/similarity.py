@@ -464,20 +464,155 @@ def near_dup_pairs(
         )
         exact = not use_lsh_prefilter
     exact = bool(exact)
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # Per-vector norms are attached to the (linear) sides, so the per-PAIR
+    # verify is one dot fold instead of dot + two norm folds (r6; the
+    # division dot/(na·nb) is the same expression values as cosine() —
+    # norm is a pure function of the array, so moving it off the pair
+    # loop is bit-exact).
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+                      ).withColumn("_na", norm(F.col("_va")))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+                      ).withColumn("_nb", norm(F.col("_vb")))
+    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
     if exact:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    else:
-        cand = lsh_bucket_candidates(
-            corpus, n_bands, bits_per_band, dim, id_col, vec_col
+        return (
+            pairs.withColumn("_sim", sim)
+            .where(F.col("_sim") > threshold)
+            .select("id_a", "id_b")
         )
-        pairs = cand.join(a, "id_a").join(b, "id_b")
-    return (
-        pairs.withColumn("_sim", cosine(F.col("_va"), F.col("_vb")))
-        .where(F.col("_sim") > threshold)
-        .select("id_a", "id_b")
+    # Banded path (r6 shape): candidate enumeration AND the cosine verify
+    # run inside one per-bucket Arrow kernel — the old shape shuffled
+    # every raw candidate through a pre-verify distinct (81M rows at
+    # sf1.0, 135 s) and then re-attached both vectors by id join before
+    # an interpreted per-pair cosine fold. The kernel replicates the
+    # Column fold BIT-exactly (float32 elementwise products, sequential
+    # float64 accumulation over dims — see _seq_dot_f32), so the pair
+    # set is unchanged; the closing distinct sees verified survivors
+    # only (≤ n_bands copies of each).
+    sk = lsh_band_rows(corpus, n_bands, bits_per_band, dim, id_col, vec_col,
+                       with_all=True)
+    members = sk.join(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v")),
+        "id",
     )
+    return _bucket_cosine_pairs(members, ["band", "bucket"], threshold,
+                                canonical_band=True)
+
+
+def _seq_dot_f32(V, lo, hi, blk_cols=None):
+    """Bit-exact numpy replica of the Column cosine fold's dot for a
+    float32 row block against all rows: Spark's
+    ``aggregate(zip_with(a, b, (x, y) -> x*y), 0.0D, acc + v)`` multiplies
+    in FLOAT32 and accumulates left-to-right in FLOAT64 — so the products
+    are formed in f32 and summed sequentially over dims in f64 (one
+    vectorized add per dim, which IS the sequential order per pair)."""
+    import numpy as np
+
+    n, d = V.shape
+    S = np.zeros((hi - lo, n), dtype=np.float64)
+    for j in range(d):
+        S += (V[lo:hi, j:j + 1] * V[None, :, j]).astype(np.float64)
+    return S
+
+
+def _bucket_cosine_pairs(members: DataFrame, keys: list[str],
+                         threshold: float,
+                         carry: tuple[str, ...] = (),
+                         canonical_band: bool = False) -> DataFrame:
+    """(id_a < id_b) pairs with cosine > threshold among rows sharing a
+    bucket key — one groupBy + per-bucket numpy kernel, emitting only
+    verified survivors. Bit-equal to the Column-fold cosine (see
+    :func:`_seq_dot_f32`; norms use the same f32-square /
+    sequential-f64-sum shape). Pair work is Σ|bucket|² either way; blocks
+    bound kernel memory. ``carry`` names group-key columns replicated
+    onto the output rows.
+
+    Dedup across buckets: with ``canonical_band=True`` (requires
+    ``band`` in keys and an ``all_buckets`` member column) a pair is
+    emitted ONLY from the first band where its buckets match — no
+    post-hoc distinct exchange over the (potentially huge) pair stream.
+    Without it the group keys must partition the members (e.g. cluster
+    ids), so each pair appears exactly once anyway."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [T.StructField("id_a", T.LongType()),
+         T.StructField("id_b", T.LongType())]
+        + [T.StructField(c, members.schema[c].dataType) for c in carry]
+    )
+    thr = threshold
+    member_struct = (F.struct("id", "_v", "all_buckets") if canonical_band
+                     else F.struct("id", "_v"))
+    extra = ("band",) if canonical_band and "band" not in carry else ()
+    # ONE JVM aggregate builds the member lists; the kernel is mapInPandas
+    # over BUCKET ROWS (per-batch Python overhead, not per-group — many
+    # tiny buckets would pay ~0.2 ms of applyInPandas setup each)
+    grouped = (
+        members.groupBy(*keys)
+        .agg(F.collect_list(member_struct).alias("_ms"))
+        .where(F.size("_ms") > 1)
+        .select(*extra, *carry, "_ms")
+    )
+
+    def _kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            frames = []
+            for ridx in range(len(pdf)):
+                ms = pdf["_ms"].iloc[ridx]
+                B = len(ms)
+                ids = np.fromiter((m["id"] for m in ms), dtype=np.int64,
+                                  count=B)
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                V = np.stack([np.asarray(m["_v"], dtype=np.float32)
+                              for m in ms])[order]
+                if canonical_band:
+                    band = int(pdf["band"].iloc[ridx])
+                    AB = np.stack([np.asarray(m["all_buckets"],
+                                              dtype=np.int64)
+                                   for m in ms])[order]
+                P = V * V  # f32 squares, exactly the fold's v*v
+                # one vectorized add per dim = the fold's sequential f64
+                # order (np.add.reduce/np.sum use pairwise summation)
+                n2 = np.zeros(B, dtype=np.float64)
+                for j in range(P.shape[1]):
+                    n2 += P[:, j].astype(np.float64)
+                nrm = np.sqrt(n2)
+                ia, ib = [], []
+                blk = max(1, (1 << 23) // max(B, 1))
+                for lo in range(0, B, blk):
+                    hi = min(lo + blk, B)
+                    S = _seq_dot_f32(V, lo, hi)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sim = S / (nrm[lo:hi, None] * nrm[None, :])
+                    mask = sim > thr
+                    mask &= np.arange(B)[None, :] > \
+                        np.arange(lo, hi)[:, None]
+                    ii, jj = np.nonzero(mask)
+                    if not len(ii):
+                        continue
+                    if canonical_band and band > 0:
+                        nodup = np.ones(len(ii), dtype=bool)
+                        for b2 in range(band):
+                            nodup &= AB[lo + ii, b2] != AB[jj, b2]
+                        ii, jj = ii[nodup], jj[nodup]
+                    ia.append(ids[lo + ii])
+                    ib.append(ids[jj])
+                if not ia:
+                    continue
+                out = pd.DataFrame({"id_a": np.concatenate(ia),
+                                    "id_b": np.concatenate(ib)})
+                for c in carry:
+                    out[c] = pdf[c].iloc[ridx]
+                frames.append(out)
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return grouped.mapInPandas(_kernel, out_schema)
 
 
 def semantic_dedup_pairs(
@@ -525,54 +660,55 @@ def semantic_dedup_pairs(
         n = corpus.count()
         n_centroids = max(1, -(-n // target_cluster_size))
     assign = ivf_assign(corpus, n_centroids, id_col, vec_col, refine_iters)
-    v = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
-    ).join(assign, "vec_id")
+    # Materialize (vec_id, _v, _nrm, centroid_id) ONCE: the frame feeds
+    # five consumers (cold a/b, hot band rows, hot vector lookups, the
+    # size rollup) and each plan reference used to re-run the whole
+    # k-means assignment (guide §7.2). Norms ride along so the per-PAIR
+    # verify below is one dot fold — dot/(na·nb) is value-identical to
+    # cosine() since norm is a pure per-vector function.
+    base = (
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_nrm", norm(F.col("_v")))
+        .join(assign, "vec_id")
+        .localCheckpoint(eager=True)
+    )
     # K-row cluster-size frame → broadcast hot/cold routing
-    sizes = assign.groupBy("centroid_id").agg(F.count("*").alias("_csz"))
-    v = v.join(F.broadcast(sizes), "centroid_id")
+    sizes = base.groupBy("centroid_id").agg(F.count("*").alias("_csz"))
+    v = base.join(F.broadcast(sizes), "centroid_id")
     cold = v.where(F.col("_csz") <= hot_cluster_cap)
     hot = v.where(F.col("_csz") > hot_cluster_cap)
 
-    a = cold.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
-                    "centroid_id")
-    b = cold.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"),
-                    "centroid_id")
-    pairs = (
-        a.join(b, "centroid_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("_va"), F.col("_vb")) > threshold)
-        .select("id_a", "id_b", "centroid_id")
-    )
+    # cold clusters: enumeration + cosine verify inside one per-cluster
+    # kernel (bit-equal to the Column fold — _bucket_cosine_pairs) instead
+    # of a within-cluster self-join scoring Σn_k² interpreted folds
+    pairs = _bucket_cosine_pairs(
+        cold.select(F.col("vec_id").alias("id"), "_v", "centroid_id"),
+        ["centroid_id"], threshold, carry=("centroid_id",),
+    ).select("id_a", "id_b", "centroid_id")
+    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
 
     sk = lsh_band_rows(hot, n_bands, bits_per_band, dim,
                        id_col="vec_id", vec_col="_v")
     # band rows re-keyed by cluster: candidates must share (cluster, band,
     # bucket) — the join key cardinality is K·L·2^b, not K, so hot-cluster
-    # parallelism recovers too
+    # parallelism recovers too. In-bucket combinations come from one
+    # groupBy (no sketch self-join); duplicates verify ~1.3× and the
+    # distinct runs over verified survivors only.
     ctr = hot.select("vec_id", "centroid_id")
     skc = sk.join(ctr, sk["id"] == ctr["vec_id"]).select(
         "id", "centroid_id", "band", "bucket"
     )
-    l, r = skc.alias("l"), skc.alias("r")
-    hot_cand = (
-        l.join(
-            r,
-            (F.col("l.centroid_id") == F.col("r.centroid_id"))
-            & (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.centroid_id").alias("centroid_id"))
-        .distinct()
-    )
-    va = hot.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = hot.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"))
+    hot_cand = _in_bucket_pairs(skc, ["centroid_id", "band", "bucket"],
+                                carry=("centroid_id",))
+    va = hot.select(F.col("vec_id").alias("id_a"), F.col("_v").alias("_va"),
+                    F.col("_nrm").alias("_na"))
+    vb = hot.select(F.col("vec_id").alias("id_b"), F.col("_v").alias("_vb"),
+                    F.col("_nrm").alias("_nb"))
     hot_pairs = (
         hot_cand.join(va, "id_a").join(vb, "id_b")
-        .where(cosine(F.col("_va"), F.col("_vb")) > threshold)
+        .where(sim > threshold)
         .select("id_a", "id_b", "centroid_id")
+        .distinct()
     )
     # cost telemetry for the hot/cold split (r4 VERDICT #8): stash the
     # lazy ingredients so semantic_dedup_report can price this exact run
@@ -696,8 +832,12 @@ def lsh_band_rows(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_all: bool = False,
 ) -> DataFrame:
     """(id, band, bucket) hyperplane-LSH sketch rows — the scale path.
+    ``with_all=True`` adds an ``all_buckets`` array (every band's bucket,
+    ~8 B × n_bands per row) so per-bucket consumers can decide
+    membership of OTHER bands locally (canonical-band dedup).
 
     One Arrow ``mapInPandas`` kernel computes ALL n_bands·bits_per_band sign
     bits per vector as a single matmul ``V @ H.T`` (H from
@@ -715,11 +855,16 @@ def lsh_band_rows(
 
     H_T = hyperplane_matrix(n_bands, bits_per_band, dim).T  # (dim, B)
     src = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
-    out_schema = StructType([
+    out_fields = [
         src.schema["id"],
         StructField("band", IntegerType()),
         StructField("bucket", LongType()),
-    ])
+    ]
+    if with_all:
+        from pyspark.sql.types import ArrayType
+
+        out_fields.append(StructField("all_buckets", ArrayType(LongType())))
+    out_schema = StructType(out_fields)
     nb, bpb, d = n_bands, bits_per_band, dim
 
     def _kernel(batches):
@@ -738,11 +883,15 @@ def lsh_band_rows(
                 V[i, : len(a)] = a
             bits = (V @ H_T) > 0.0  # (n, nb*bpb) sign bits
             buckets = bits.reshape(n, nb, bpb).astype(np.int64) @ weights
-            yield pd.DataFrame({
+            out = {
                 "id": pdf["id"].values.repeat(nb),
                 "band": np.tile(bands, n),
                 "bucket": buckets.reshape(-1),
-            })
+            }
+            if with_all:
+                rows = buckets.tolist()
+                out["all_buckets"] = [r for r in rows for _ in range(nb)]
+            yield pd.DataFrame(out)
 
     return src.mapInPandas(_kernel, out_schema)
 
@@ -762,16 +911,34 @@ def lsh_bucket_candidates(
     shuffles on the narrow (band, bucket) key; candidate volume ∝ bucket
     collisions, never n²."""
     sk = lsh_band_rows(corpus, n_bands, bits_per_band, dim, id_col, vec_col)
-    l, r = sk.alias("l"), sk.alias("r")
+    return _in_bucket_pairs(sk, ["band", "bucket"]).distinct()
+
+
+def _in_bucket_pairs(sk: DataFrame, keys: list[str],
+                     carry: tuple[str, ...] = ()) -> DataFrame:
+    """Ordered (id_a < id_b) pairs of ``sk.id`` sharing a bucket key —
+    ONE groupBy over the sketch rows instead of a bucket self-join (r6):
+    the self-join's two plan references each re-ran the upstream sketch
+    kernel (guide §7.2 duplicated subtrees) and shuffled the rows twice.
+    NOT distinct — a pair repeats once per shared bucket; callers dedupe
+    where needed (cheapest AFTER any verify filter). ``carry`` names key
+    columns to keep on the output rows. Pair work is Σ|bucket|² either
+    way; the two-step explode streams combinations without materializing a
+    bucket's full pair array."""
+    grouped = (
+        sk.groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("id")).alias("_ids"))
+        .where(F.size("_ids") > 1)
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.id") < F.col("r.id")),
+        grouped.select(*carry, F.posexplode("_ids").alias("_i", "id_a"), "_ids")
+        .select(
+            *carry, "id_a",
+            F.explode(
+                F.slice(F.col("_ids"), F.col("_i") + 2,
+                        F.greatest(F.size("_ids") - F.col("_i") - 1, F.lit(0)))
+            ).alias("id_b"),
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
 
 

@@ -681,6 +681,37 @@ def test_incremental_dedup_store(spark, tmp_path):
                and r["n_match"] == 16 for r in rows2)
 
 
+def test_incremental_dedup_broadcast_gate_fallback(spark, tmp_path):
+    """The batch-side broadcast is size-GATED (r5 verdict #1): over the
+    gate the plan must carry no broadcast HINT on the batch side (the
+    plain (band, bucket) equi-join fallback — AQE may still pick any
+    strategy from real sizes at scale), and the fallback returns the
+    identical pair set."""
+    from polipus_spark.functions.dedup import (
+        build_minhash_store, incremental_dedup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .where(F.col("doc_id") < 60)
+    store_dir = str(tmp_path / "sigstore_gate")
+    build_minhash_store(docs, store_dir)
+    batch = docs.select((F.col("doc_id") + 5000).alias("doc_id"), "text") \
+        .where(F.col("doc_id") < 5030)
+
+    gated = incremental_dedup_pairs(spark, batch, store_dir,
+                                    broadcast_max_rows=0)
+    hinted = incremental_dedup_pairs(spark, batch, store_dir)
+    # the hint is a logical-plan artifact — assert on the optimized plan,
+    # not the physical one (auto-broadcast from real sizes is fine)
+    assert "broadcast" not in gated._jdf.queryExecution().optimizedPlan() \
+        .toString().lower()
+    assert "broadcast" in hinted._jdf.queryExecution().optimizedPlan() \
+        .toString().lower()
+    key = lambda r: (r["new_id"], r["old_id"], r["n_match"])  # noqa: E731
+    assert sorted(map(key, gated.collect())) == \
+        sorted(map(key, hinted.collect()))
+
+
 def test_ivfpq_index_dpp_and_fullprobe_equality(spark, tmp_path):
     """IVF-PQ composed index: residual-PQ codes live beside the float
     column in centroid_id= list directories, the ADC scan carries a DPP
@@ -2130,6 +2161,37 @@ def test_shingle60_kernel_matches_column_spec(spark):
     kern = {r["doc_id"]: sorted(r["s"]) for r in docs.select(
         "doc_id", shingle60_rows(F.col("text"), 3).alias("s")).collect()}
     assert spec == kern
+
+
+def test_near_dup_lsh_kernel_matches_column_fold(spark):
+    """The per-bucket cosine kernel behind near_dup_pairs' banded path is
+    bit-equal to the Column cosine fold it replaced: same pair set as the
+    candidates∩cosine-filter formulation at several thresholds, including
+    thresholds EQUAL to an actual pair's cosine (strict > means a one-ulp
+    kernel difference would flip membership)."""
+    from polipus_spark.functions.similarity import (
+        cosine, lsh_bucket_candidates, near_dup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet") \
+        .where(F.col("vec_id") < 120)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    cand = lsh_bucket_candidates(emb, 8, 4, 64)
+    spec = cand.join(a, "id_a").join(b, "id_b").withColumn(
+        "_sim", cosine(F.col("_va"), F.col("_vb")))
+    sims = sorted(r["_sim"] for r in spec.collect())
+    assert sims, "fixture must yield at least one candidate pair"
+    # exact boundary thresholds: a pair's own cosine, and its neighbors
+    thresholds = {0.5, 0.9, sims[0], sims[len(sims) // 2], sims[-1]}
+    for thr in thresholds:
+        want = sorted((r["id_a"], r["id_b"])
+                      for r in spec.where(F.col("_sim") > thr).collect())
+        got = sorted((r["id_a"], r["id_b"])
+                     for r in near_dup_pairs(emb, threshold=thr,
+                                             n_bands=8, bits_per_band=4
+                                             ).collect())
+        assert got == want, f"mismatch at threshold {thr!r}"
 
 
 def test_interchange_roundtrips_lossless(spark, tmp_path):
