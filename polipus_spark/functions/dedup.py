@@ -1428,21 +1428,28 @@ def containment_pairs(
     Output: ``(id_a, id_b, inter, n_small, cont_bps)`` with id_a < id_b,
     ``cont_bps = inter · 10⁴ div min(|A|,|B|) >= min_cont_bps``.
     """
+    from polipus_spark.partitioning import spread
+
+    # One spread shingle60 kernel pass, materialized once: sh feeds the
+    # df rollup AND the filtered frame, and shf feeds sizes + both join
+    # sides — without the barriers each reference re-ran the whole
+    # explode+md5 (guide §7.2; the kernel itself is the ~20× cheaper
+    # realization of word_shingles+h60_str, pinned bit-equal by test).
+    # shingle60_rows emits DISTINCT hashes per doc, so no row-level
+    # distinct is needed.
     sh = (
-        docs.select(
-            F.col(id_col).alias("id"),
-            F.explode(word_shingles(F.col(text_col), shingle_k))
-            .alias("gram"),
-        )
-        .select("id", h60_str(F.col("gram")).alias("g"))
-        .distinct()
+        spread(docs)
+        .select(F.col(id_col).alias("id"),
+                shingle60_rows(F.col(text_col), shingle_k).alias("_gs"))
+        .select("id", F.explode("_gs").alias("g"))
+        .localCheckpoint(eager=True)
     )
     rare = (
         sh.groupBy("g").agg(F.count("*").alias("_df"))
         .where(F.col("_df") <= max_df)
         .select("g")
     )
-    shf = sh.join(rare, "g", "left_semi")
+    shf = sh.join(rare, "g", "left_semi").localCheckpoint(eager=True)
     sizes = shf.groupBy("id").agg(F.count("*").alias("n"))
     a = shf.select(F.col("id").alias("id_a"), "g")
     b = shf.select(F.col("id").alias("id_b"), "g")
@@ -1496,21 +1503,24 @@ def cross_containment(
     aggregate. No df filter needed: fan-out per corpus shingle is bounded
     by the benchmark's df, not the corpus's. Output:
     ``(doc_id, bench_id, inter, n_bench, cont_bps >= min_cont_bps)``."""
+    from polipus_spark.partitioning import spread
+
+    # shingle60 kernel (distinct per doc by construction) + spread on the
+    # corpus side — the corpus explode+md5 was the whole cost of this
+    # screen; bs is eval-set-sized and feeds two consumers, so it
+    # materializes once.
     cs = (
-        corpus.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("gram"),
-        )
-        .select("doc_id", h60_str(F.col("gram")).alias("g"))
-        .distinct()
+        spread(corpus)
+        .select(F.col(id_col).alias("doc_id"),
+                shingle60_rows(F.col(text_col), shingle_k).alias("_gs"))
+        .select("doc_id", F.explode("_gs").alias("g"))
     )
     bs = (
-        benchmark.select(
-            F.col(id_col).alias("bench_id"),
-            F.explode(word_shingles(F.col(text_col), shingle_k)).alias("gram"),
-        )
-        .select("bench_id", h60_str(F.col("gram")).alias("g"))
-        .distinct()
+        spread(benchmark)
+        .select(F.col(id_col).alias("bench_id"),
+                shingle60_rows(F.col(text_col), shingle_k).alias("_gs"))
+        .select("bench_id", F.explode("_gs").alias("g"))
+        .localCheckpoint(eager=True)
     )
     bsizes = bs.groupBy("bench_id").agg(F.count("*").alias("n_bench"))
     inter = (

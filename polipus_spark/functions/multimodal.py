@@ -1083,20 +1083,36 @@ def video_near_pairs(media: DataFrame, min_common: int = 2,
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
-    wsets = sets.groupBy("ids").agg(F.count("*").alias("_m"))
-    pairs = (
-        wsets.select("_m", F.posexplode("ids").alias("_i", "id_a"), "ids")
-        .select(
-            "_m", "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("_i") + 2,
-                        F.greatest(F.size("ids") - F.col("_i") - 1,
-                                   F.lit(0)))
-            ).alias("id_b"),
+    # class table: one row per DISTINCT id list, with its hash
+    # multiplicity — tiny (≤ #shared-footage cliques), so materialize it
+    # and read its shape
+    wsets = sets.groupBy("ids").agg(F.count("*").alias("_m")) \
+        .localCheckpoint(eager=True)
+    tot = wsets.select(F.sum(F.size("ids"))).collect()[0][0] or 0
+    dst = wsets.select(F.explode("ids").alias("i")).distinct().count()
+    def _pairs(src):
+        return (
+            src.select("_m", F.posexplode("ids").alias("_i", "id_a"), "ids")
+            .select(
+                "_m", "id_a",
+                F.explode(
+                    F.slice(F.col("ids"), F.col("_i") + 2,
+                            F.greatest(F.size("ids") - F.col("_i") - 1,
+                                       F.lit(0)))
+                ).alias("id_b"),
+            )
         )
-    )
+    if tot == dst:
+        # DISJOINT classes (checked from the materialized class table —
+        # an AQE-style data-driven plan choice with identical results):
+        # no id appears in two classes, so a pair lives in exactly ONE
+        # class and n_common is that class's multiplicity — emit pairs
+        # map-side from the (pre-filtered) classes with NO pair-stream
+        # aggregation exchange at all.
+        return _pairs(wsets.where(F.col("_m") >= min_common)).select(
+            "id_a", "id_b", F.col("_m").cast("bigint").alias("n_common"))
     return (
-        pairs.groupBy("id_a", "id_b")
+        _pairs(wsets).groupBy("id_a", "id_b")
         .agg(F.sum("_m").cast("bigint").alias("n_common"))
         .where(F.col("n_common") >= min_common)
     )

@@ -165,9 +165,25 @@ def epoch_allocation(
         w_expr = F.when(
             F.col(stratum_col) == F.lit(value), F.lit(bps)
         ).otherwise(w_expr)
+    # Every weighted stratum must enter the apportionment even with ZERO
+    # rows in df (r5 advisor): a missing stratum's base/remainder
+    # otherwise never forms, inflating the leftover so Σ alloc_docs can
+    # fall short of total and zero-weight strata can win +1 seats. Union
+    # in explicit zero-count rows for the weighted strata; observed rows
+    # dominate via the max (n_avail ≥ 0).
+    weighted = df.sparkSession.createDataFrame(
+        [(str(v), 0) for v in sorted(weights_bps)],
+        schema="_wv string, n_avail long",
+    ).select(
+        F.col("_wv").cast(df.schema[stratum_col].dataType).alias(stratum_col),
+        "n_avail",
+    )
     counts = (
         df.groupBy(stratum_col)
         .agg(F.count("*").alias("n_avail"))
+        .unionByName(weighted)
+        .groupBy(stratum_col)
+        .agg(F.max("n_avail").alias("n_avail"))
         .withColumn("_w", w_expr.cast("bigint"))
         .withColumn("_base", F.expr(f"div({total} * _w, {BPS})"))
         .withColumn("_rem", (F.lit(total) * F.col("_w")) % F.lit(BPS))

@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from polipus_spark.partitioning import spread
+
 # 60-bit hash space: md5's first 15 hex digits. Matches the idiom used by
 # minhash/simhash (dedup.py) so the DuckDB oracles share one casting trick.
 HASH_BITS = 60
@@ -146,7 +148,7 @@ def kmv_distinct(df: DataFrame, key: Column, k: int = 256) -> DataFrame:
     h = hash60(key)
     # null keys hash to NULL — they carry no distinct value and would
     # otherwise survive dropDuplicates as one spurious row
-    hashes = df.select(h.alias("h")).where(F.col("h").isNotNull())
+    hashes = spread(df).select(h.alias("h")).where(F.col("h").isNotNull())
     if n_est > 8 * k:
         # integer threshold: (2^60 / n_est) * 8k, computed without doubles
         threshold = ((1 << HASH_BITS) // n_est) * 8 * k
@@ -179,7 +181,7 @@ def cms_build(df: DataFrame, key: Column) -> DataFrame:
     d·w = 1024 cells regardless of input size, combining map-side. The
     materialized sketch is KB-sized and broadcastable."""
     return (
-        df.select(F.explode(F.array(*_cms_coords(key))).alias("rb"))
+        spread(df).select(F.explode(F.array(*_cms_coords(key))).alias("rb"))
         .groupBy(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
         .agg(F.count("*").alias("cnt"))
     )
@@ -222,15 +224,17 @@ def binned_quantiles(
     10^4); the estimate alone is floor-scaled to a BIGINT. Returns one row
     per quantile: (q_bps, bin_idx, cum_lo, in_bin, est_value_x4).
     """
+    df = spread(df)  # per-row bin math; widen narrow scans
     stats = df.agg(
         F.min(value).alias("lo"), F.max(value).alias("hi"), F.count("*").alias("n")
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(n_bins)
     rows = df.crossJoin(F.broadcast(stats)).select(
-        F.least(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(F.least(
             F.lit(n_bins - 1).cast("bigint"),
             F.floor((value - F.col("lo")) / width).cast("bigint"),
-        ).alias("bin"),
+        )).alias("bin"),  # hi == lo guard: 0-width grid => NaN bin (r5 advisor)
         "lo",
         "hi",
         "n",
@@ -355,14 +359,16 @@ def quantiles_by(
     price of mergeability (a per-group grid would be tighter per group
     but its histograms could not merge); error stays (max-min)/n_bins.
     """
+    df = spread(df)  # per-row bin math; widen narrow scans
     stats = df.agg(F.min(value).alias("lo"), F.max(value).alias("hi"))
     width = (F.col("hi") - F.col("lo")) / F.lit(n_bins)
     rows = df.crossJoin(F.broadcast(stats)).select(
         group.cast("string").alias("grp"),
-        F.least(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(F.least(
             F.lit(n_bins - 1).cast("bigint"),
             F.floor((value - F.col("lo")) / width).cast("bigint"),
-        ).alias("bin"),
+        )).alias("bin"),  # hi == lo guard: 0-width grid => NaN bin (r5 advisor)
         "lo",
         "hi",
     )
@@ -430,7 +436,7 @@ def cms_estimate_by(
     the cell combine. Estimates are upper bounds with the usual CMS
     guarantee per sketch (error ∝ that sketch's total count / w)."""
     cells = (
-        df.select(
+        spread(df).select(
             group.cast("string").alias("grp"),
             F.explode(F.array(*_cms_coords(key))).alias("rb"),
         )

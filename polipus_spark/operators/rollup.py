@@ -36,8 +36,10 @@ def build_time_rollup(
 ) -> None:
     """Aggregate events into per-(bucket, key) partials, partitioned by
     bucket (bucket = epoch-second floor — the hypertable chunk key)."""
+    from polipus_spark.partitioning import spread
+
     (
-        events
+        spread(events)
         .withColumn("bucket",
                     (F.floor(F.col(ts_col) / bucket_s) * bucket_s).cast("bigint"))
         .groupBy("bucket", key_col)
@@ -116,8 +118,13 @@ def refresh_rollup(
     batch-span/bucket_s — the same bounded-collect class as the
     politeness budget frame).
     """
+    from polipus_spark.partitioning import spread
+
+    # materialize the (bucket-span-sized) batch partials once: they feed
+    # BOTH the touched-bucket probe and the merge union (each reference
+    # otherwise re-aggregates the batch scan)
     batch = (
-        new_events
+        spread(new_events)
         .withColumn("bucket",
                     (F.floor(F.col(ts_col) / bucket_s) * bucket_s).cast("bigint"))
         .groupBy("bucket", key_col)
@@ -125,6 +132,7 @@ def refresh_rollup(
             F.count("*").alias("n_events"),
             F.sum(_cents(value_col)).cast("bigint").alias("sum_value_cents"),
         )
+        .localCheckpoint(eager=True)
     )
     touched = sorted(r["bucket"] for r in batch.select("bucket").distinct().collect())
     if not touched:

@@ -1991,6 +1991,33 @@ def test_video_near_pairs_hand_case(spark):
         == [(1, 2, 2)]
 
 
+def test_video_near_pairs_overlapping_classes(spark):
+    """Pairs must SUM across distinct id-list classes when classes
+    overlap (the disjoint fast path must not fire): frame fa is shared
+    by clips {1,2}, fb by {1,2,3} — pair (1,2) has n_common=2 from two
+    different classes, (1,3) and (2,3) only 1."""
+    from polipus_spark.functions.multimodal import video_near_pairs
+
+    def clip(frames):
+        body = b"".join(b"FRAME\n" + f for f in frames)
+        return b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n" + body
+
+    fa, fb = bytes([1] * 12), bytes([2] * 12)
+    u = [bytes([100 + i] * 12) for i in range(3)]
+    rows = [
+        (1, clip([fa, fb, u[0]])),
+        (2, clip([fa, fb, u[1]])),
+        (3, clip([fb, u[2]])),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = sorted((r["id_a"], r["id_b"], r["n_common"])
+                 for r in video_near_pairs(media, min_common=1).collect())
+    assert got == [(1, 2, 2), (1, 3, 1), (2, 3, 1)]
+    got2 = sorted((r["id_a"], r["id_b"], r["n_common"])
+                  for r in video_near_pairs(media, min_common=2).collect())
+    assert got2 == [(1, 2, 2)]
+
+
 def test_mips_topk_orders_by_dot_not_cosine(spark):
     """The norm-augmentation reduction must rank by INNER PRODUCT: a
     short perfectly-aligned vector (cosine 1.0, dot 0.5) loses to a
@@ -2372,6 +2399,47 @@ def test_epoch_allocation_exact_apportionment(spark):
 
     with pytest.raises(ValueError):
         epoch_allocation(df, "lang", {"en": 5000, "de": 4000}, total=5)
+
+
+def test_epoch_allocation_missing_and_zero_weight_strata(spark):
+    """Σ alloc == total even when a WEIGHTED stratum has zero rows (r5
+    advisor: its base/remainder silently vanished, inflating the
+    leftover), and strata with weight 0 (present in df but absent from
+    weights_bps) never win leftover seats."""
+    from polipus_spark.functions.sampling import epoch_allocation, epoch_take
+
+    rows = ([(i, "en") for i in range(8)] + [(100 + i, "und") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # fr is weighted 40% but has NO rows: its base/remainder must still
+    # enter the apportionment (alloc 4, shortfall 4), and the zero-weight
+    # 'und' stratum must get exactly 0.
+    out = {r["lang"]: (r["n_avail"], r["alloc_docs"], r["shortfall"])
+           for r in epoch_allocation(
+               df, "lang", {"en": 6000, "fr": 4000}, total=9
+           ).collect()}
+    assert sum(a for _, a, _ in out.values()) == 9
+    assert out["fr"] == (0, 4, 4)
+    assert out["und"] == (4, 0, 0)
+    assert out["en"] == (8, 5, 0)
+    # epoch_take inherits: takes min(alloc, avail) per stratum
+    taken = epoch_take(df, "lang", {"en": 6000, "fr": 4000}, total=9)
+    got = {r["lang"] for r in taken.collect()}
+    assert got == {"en"} and taken.count() == 5
+
+
+def test_grouped_quantiles_constant_column(spark):
+    """hi == lo (constant value column) must not NaN the bin math (r5
+    advisor): every quantile collapses to the constant, no null bins."""
+    from polipus_spark.functions.sketches import quantiles_by
+
+    df = spark.createDataFrame([(i % 3, 7.0) for i in range(30)],
+                               "g long, v double")
+    out = quantiles_by(df, F.col("g"), F.col("v"),
+                       q_bps=[2500, 5000, 9900]).collect()
+    assert out, "must emit rows"
+    assert all(r["est_value_x4"] is not None for r in out)
+    assert all(r["est_value_x4"] == 70000 for r in out)  # 7.0 * SCALE
+    assert all(r["bin_idx"] == 0 for r in out)
 
 
 def test_epoch_allocation_quota_property_randomized(spark):
