@@ -23,6 +23,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from polipus_spark.partitioning import spread as _spread
+
 # ---------------------------------------------------------------------------
 # shared derivation constants (mirrored literally in the oracle SQL)
 # ---------------------------------------------------------------------------
@@ -2101,7 +2103,7 @@ def q_media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.md5(F.concat(s, F.lit("b"))))
     payload = F.concat(F.lit("P6\n4 4\n255\n").cast("binary"),
                        F.to_binary(hexbody, F.lit("hex")))
-    media = d.select("doc_id", payload.alias("payload"))
+    media = _spread(d).select("doc_id", payload.alias("payload"))
     return image_stats(media).select(
         "doc_id", "width", "height", "sum_r", "sum_g", "sum_b"
     )
@@ -2129,7 +2131,7 @@ def q_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            + b"data" + struct.pack("<I", 32))
     payload = F.concat(F.to_binary(F.lit(hdr.hex()), F.lit("hex")),
                        F.to_binary(hexbody, F.lit("hex")))
-    media = d.select("doc_id", payload.alias("payload"))
+    media = _spread(d).select("doc_id", payload.alias("payload"))
     return audio_stats(media).select(
         "doc_id", "n_channels", "sample_rate", "n_frames",
         "sum_abs_l", "sum_abs_r",
@@ -2180,7 +2182,7 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hexbody = F.concat(F.md5(F.concat(s, F.lit("p1"))),
                        F.md5(F.concat(s, F.lit("p2"))),
                        F.md5(F.concat(s, F.lit("p3"))))
-    media = d.select("doc_id", _png(hexbody).alias("payload"))
+    media = _spread(d).select("doc_id", _png(hexbody).alias("payload"))
     return image_stats(media).select(
         "doc_id", "width", "height", "sum_r", "sum_g", "sum_b"
     )
@@ -2224,7 +2226,7 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     hexbody = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("j")))
-    media = d.select("doc_id", _jpeg(hexbody).alias("payload"))
+    media = _spread(d).select("doc_id", _jpeg(hexbody).alias("payload"))
     return image_stats(media).select(
         "doc_id", "width", "height", "sum_r", "sum_g", "sum_b"
     )
@@ -2262,7 +2264,7 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hexbody = F.concat(*[
         F.md5(F.concat(s, F.lit(f"f{i}"))) for i in range(5)
     ])
-    media = d.select("doc_id", _y4m(hexbody).alias("payload"))
+    media = _spread(d).select("doc_id", _y4m(hexbody).alias("payload"))
     return video_stats(media, every_n=2).select(
         "doc_id", "width", "height", "n_frames", "n_sampled",
         "sum_y", "sum_u", "sum_v",
@@ -2348,7 +2350,7 @@ def q_dedup_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     payload = F.concat(
         F.lit("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n").cast("binary"), body)
-    media = d.select("doc_id", payload.alias("payload"))
+    media = _spread(d).select("doc_id", payload.alias("payload"))
     return video_near_pairs(media, min_common=3)
 
 
@@ -2391,7 +2393,7 @@ def q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     payload = F.concat(
         F.lit("YUV4MPEG2 W2 H2 F25:1 Ip A1:1 C444\n").cast("binary"), body)
-    media = d.select("doc_id", payload.alias("payload"))
+    media = _spread(d).select("doc_id", payload.alias("payload"))
     return video_scene_cuts(media)
 
 
@@ -3323,7 +3325,7 @@ def q_dedup_media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hexbody = F.concat(F.substring(base, 1, 94), F.substring(F.md5(s), 1, 2))
     payload = F.concat(F.lit("P6\n4 4\n255\n").cast("binary"),
                        F.to_binary(hexbody, F.lit("hex")))
-    media = d.select("doc_id", payload.alias("payload"))
+    media = _spread(d).select("doc_id", payload.alias("payload"))
     sigs = image_dhash(media)
     return hamming_near_pairs(sigs, n_bits=12, k=1,
                               id_col="doc_id", hash_col="dhash")
@@ -3364,7 +3366,7 @@ def q_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
            + b"data" + struct.pack("<I", 128))
     payload = F.concat(F.to_binary(F.lit(hdr.hex()), F.lit("hex")),
                        F.to_binary(hexbody, F.lit("hex")))
-    media = d.select("doc_id", payload.alias("payload"))
+    media = _spread(d).select("doc_id", payload.alias("payload"))
     # 64 mono samples / frame_len 4 → 16 analysis frames → 15 delta bits
     sigs = audio_fingerprint(media)
     return hamming_near_pairs(sigs, n_bits=15, k=1,

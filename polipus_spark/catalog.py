@@ -180,12 +180,18 @@ class SnapshotTable:
         self._commit_manifest(manifest)
 
     # -- reads --------------------------------------------------------------
-    def read(self, as_of: int | None = None) -> DataFrame:
-        """Union of committed snapshots (≤ as_of). Empty table → empty DF."""
+    def read(self, as_of: int | None = None,
+             since_version: int | None = None) -> DataFrame:
+        """Union of committed snapshots (≤ as_of; > since_version).
+        Empty table → empty DF. ``since_version`` is the incremental-read
+        half of the MoR contract: a consumer that holds a resolved BASE
+        (e.g. the last compaction) reads only the appends after it."""
         manifest = self._manifest()
         snaps = manifest["snapshots"]
         if as_of is not None:
             snaps = [s for s in snaps if s["version"] <= as_of]
+        if since_version is not None:
+            snaps = [s for s in snaps if s["version"] > since_version]
         dirs = [s["dir"] for s in snaps]
         if not dirs:
             if manifest["schema"] is not None:

@@ -38,8 +38,10 @@ def bpe_vocab(docs: DataFrame, text_col: str = "text",
     """(s, cnt): paren-delimited character symbols per distinct word.
 
     The single corpus-proportional step of BPE training."""
+    from polipus_spark.partitioning import spread
+
     return (
-        docs.select(F.explode(words(F.col(text_col))).alias("w"))
+        spread(docs).select(F.explode(words(F.col(text_col))).alias("w"))
         .select(F.regexp_replace("w", "[^a-z0-9]", "").alias("w"))
         .where(F.length("w") >= min_len)
         .groupBy("w").agg(F.count("*").alias("cnt"))
@@ -113,8 +115,10 @@ def bpe_segment(docs: DataFrame, merges: list[tuple[str, str]],
         "(.)", r"($1)")
     for left, right in merges:
         s = F.replace(s, F.lit(f"({left})({right})"), F.lit(f"({left}{right})"))
+    from polipus_spark.partitioning import spread
+
     return (
-        docs.select(F.explode(words(F.col(text_col))).alias("word"))
+        spread(docs).select(F.explode(words(F.col(text_col))).alias("word"))
         .select(F.regexp_replace("word", "[^a-z0-9]", "").alias("word"))
         .where(F.length("word") >= min_len)
         .dropDuplicates(["word"])

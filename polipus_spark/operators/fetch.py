@@ -50,10 +50,14 @@ def _join_docs(
         #            shuffle (BuildRight inner is supported);
         #   misses = wave ANTI broadcast(matched urls) — the unreachable-host
         #            rows, with null doc columns.
-        # Cost: the miss pass re-streams the corpus column-pruned to doc_id
-        # only (cheap vs any shuffle). On an Iceberg deployment both passes
-        # become storage-partitioned joins on bucket(doc_id).
-        hits = d.join(F.broadcast(wave), wave[url_expr] == d["_d_url"], "inner")
+        # hits is materialized (wave-sized — the broadcast gate already
+        # bounds it) so the corpus streams ONCE per hop: without the
+        # barrier, `matched` re-ran the whole hits pass inside the
+        # anti-join's broadcast, i.e. a second corpus scan per wave
+        # (r5 review #5). On an Iceberg deployment both passes become
+        # storage-partitioned joins on bucket(doc_id).
+        hits = d.join(F.broadcast(wave), wave[url_expr] == d["_d_url"],
+                      "inner").localCheckpoint(eager=True)
         matched = hits.select(F.col(url_expr).alias("_m_url"))
         misses = wave.join(
             F.broadcast(matched), wave[url_expr] == F.col("_m_url"), "left_anti"

@@ -36,7 +36,7 @@ from typing import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polipus_spark.catalog import SnapshotCatalog, SnapshotTable, V_COL
@@ -64,10 +64,45 @@ class ExactTracker:
     def _current(self) -> DataFrame | None:
         if not self.table.exists():
             return None
-        return (
-            self.table.read_latest_by(["key"])
+        # Incremental MoR probe (r5 review #7): resolve against the last
+        # COMPACTED snapshot (already one live `add` row per key, by
+        # compact()'s construction) plus a window over only the
+        # since-compaction delta, instead of re-windowing the full
+        # add/remove log every wave. Keys present in the delta override
+        # the base (their delta rows carry strictly larger _v); keys only
+        # in the base pass through untouched — value-identical to the
+        # full-log window.
+        snaps = self.table._manifest()["snapshots"]
+        base = None
+        for s in snaps:
+            if s.get("op") == "compact":
+                base = s
+        if base is None:
+            return (
+                self.table.read_latest_by(["key"])
+                .where(F.col("op") == "add")
+                .select("key")
+            )
+        base_keys = (
+            self.table.read(as_of=base["version"],
+                            since_version=base["version"] - 1)
             .where(F.col("op") == "add")
             .select("key")
+        )
+        if not any(s["version"] > base["version"] for s in snaps):
+            return base_keys  # no delta: the base IS the current set
+        delta = self.table.read(since_version=base["version"])
+        w = Window.partitionBy("key").orderBy(F.col(V_COL).desc())
+        delta_latest = (
+            delta.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+        )
+        return (
+            delta_latest.where(F.col("op") == "add").select("key")
+            .unionByName(
+                base_keys.join(delta.select("key").distinct(), "key",
+                               "left_anti")
+            )
         )
 
     def filter_unseen(self, df: DataFrame, key_col: str) -> DataFrame:

@@ -83,3 +83,43 @@ def test_clear(spark, work_dir):
     t.visit(spark, URL)
     t.clear()
     assert not t.is_visited(spark, URL)
+
+
+def test_exact_incremental_probe_after_compaction(spark, work_dir):
+    """The exact tracker's resolved view must be computed from the last
+    compacted snapshot plus the since-compaction DELTA only (r5 review
+    #7) — not a window over the full log — and must stay value-identical
+    through adds, removes, compaction, re-adds, and post-compaction
+    removes."""
+    cat = SnapshotCatalog(spark, work_dir)
+    t = ExactTracker(cat)
+    mk = lambda urls: spark.createDataFrame([(u,) for u in urls], "key string")  # noqa: E731
+    t.mark_seen(mk(["a", "b", "c"]), "key")
+    t.remove(spark, ["b"])
+    t.compact()
+
+    # no delta after the base: the probe plan is a direct base read — no
+    # MoR window at all
+    plan = t._current()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert t.seen_keys() == {"a", "c"}
+
+    # delta: re-add the removed key, remove a compacted key, add a new one
+    t.mark_seen(mk(["b", "d"]), "key")
+    t.remove(spark, ["a"])
+    cur = t._current()
+    plan = cur._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE MoR window — over the delta, not the full log
+    assert plan.count("RunningWindowFunction") <= 1
+    assert t.seen_keys() == {"b", "c", "d"}
+    urls = spark.createDataFrame([(u,) for u in ["a", "b", "c", "d", "e"]],
+                                 "url string")
+    probe = t.probe(urls, "url")
+    got = {r["url"]: r["_seen"] for r in probe.collect()}
+    assert got == {"a": False, "b": True, "c": True, "d": True, "e": False}
+
+    # second compaction folds the delta in; probe again windowless
+    t.compact()
+    plan = t._current()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert t.seen_keys() == {"b", "c", "d"}
