@@ -1150,6 +1150,9 @@ def _sq_dist(a: Column, b: Column) -> Column:
 def _pq_subrows(corpus: DataFrame, m: int, sub: int,
                 id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, subspace, _sv): one row per vector per subspace slice."""
+    from polipus_spark.partitioning import spread
+
+    corpus = spread(corpus)  # the Lloyd passes iterate on these rows
     structs = [
         F.struct(
             F.lit(j).alias("subspace"),
@@ -1381,6 +1384,9 @@ def build_ivfpq_index(
             ).alias("_res"),
         )
     )
+    # residuals feed BOTH the PQ training loop and the encode pass (and
+    # spread() inside _pq_subrows probes partitioning) — materialize once
+    res = res.localCheckpoint(eager=True)
     books = pq_train(res, m=m, n_codes=n_codes, n_iter=n_iter,
                      id_col="vec_id", vec_col="_res")
     books.write.mode("overwrite").parquet(f"{index_dir}/codebooks")
